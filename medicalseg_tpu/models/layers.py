@@ -1,0 +1,96 @@
+# Copyright 2026. Apache License 2.0.
+"""Shared building blocks for the 3-D segmentation models.
+
+Channels-last (NDHWC) Flax modules — the TPU-native layout: XLA maps
+5-D convs in NDHWC straight onto the MXU without layout transposes,
+unlike the reference's NCDHW Paddle modules (medicalseg/models/vnet.py).
+
+Mixed precision: ``dtype`` is the compute/activation dtype (bfloat16 by
+default on TPU), parameters and BatchNorm statistics stay float32.
+"""
+
+from typing import Any, Callable, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class PReLU(nn.Module):
+    """Per-channel PReLU (paddle nn.PReLU(num_parameters=C) parity,
+    reference vnet.py:35: learnable alpha per channel, init 0.25)."""
+    init_value: float = 0.25
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param(
+            "alpha", lambda key, shape: jnp.full(shape, self.init_value,
+                                                 jnp.float32),
+            (x.shape[-1],))
+        alpha = alpha.astype(self.dtype)
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+class Activation(nn.Module):
+    """ELU-vs-PReLU switch used throughout VNet (reference vnet.py:35)."""
+    elu: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.elu:
+            return nn.elu(x)
+        return PReLU(dtype=self.dtype)(x)
+
+
+class ConvBNAct(nn.Module):
+    """Conv3D + BatchNorm + activation (reference LUConv, vnet.py:32-43).
+
+    BatchNorm runs in float32 regardless of the compute dtype; under a
+    batch-sharded pjit the batch statistics are global means, giving
+    SyncBatchNorm semantics (reference config.py:322-323) without a
+    dedicated layer.
+    """
+    features: int
+    kernel_size: Tuple[int, int, int] = (5, 5, 5)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    padding: Any = "SAME"
+    elu: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(self.features, self.kernel_size, strides=self.strides,
+                    padding=self.padding, dtype=self.dtype,
+                    kernel_init=nn.initializers.he_normal())(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32)(x)
+        x = x.astype(self.dtype)
+        return Activation(elu=self.elu, dtype=self.dtype)(x)
+
+
+class NConvs(nn.Module):
+    """``depth`` stacked 5x5x5 ConvBNAct blocks at constant width
+    (reference _make_nConv, vnet.py:46-54)."""
+    features: int
+    depth: int
+    elu: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        for _ in range(self.depth):
+            x = ConvBNAct(self.features, elu=self.elu,
+                          dtype=self.dtype)(x, train)
+        return x
+
+
+class ChannelDropout(nn.Module):
+    """Dropout3D parity: zeroes whole channels (paddle nn.Dropout3D,
+    reference vnet.py:103). Mask broadcasts over D,H,W."""
+    rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        return nn.Dropout(rate=self.rate, broadcast_dims=(1, 2, 3),
+                          deterministic=deterministic)(x)

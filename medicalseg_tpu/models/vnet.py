@@ -1,0 +1,178 @@
+# Copyright 2026. Apache License 2.0.
+"""V-Net: 3-D encoder-decoder for volumetric segmentation.
+
+TPU-native re-design of the reference VNet (medicalseg/models/vnet.py:
+178-267, itself after https://arxiv.org/abs/1606.04797): same topology —
+InputTransition (in->16 + tiled-input residual), four channel-doubling
+DownTransitions (16->32->64->128->256) with residual nConv stacks, four
+UpTransitions (transposed-conv upsample + skip concat + residual), and an
+OutputTransition head — but as channels-last Flax modules compiled by XLA
+for the MXU, with per-stage anisotropic ``kernel_size``/``stride_size``
+(e.g. [2,2,4]/[2,2,1] for 512x512x12 spine MRI, reference
+configs/mri_spine_seg/vnet_mri_spine_seg_512_512_12_15k.yml:8-9).
+
+Contract (matching reference vnet.py:256-267): ``apply`` takes a
+[N, D, H, W, C_in] batch and returns a list ``[logits]`` with logits
+[N, D, H, W, num_classes].
+"""
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..cvlibs import manager
+from .layers import Activation, ChannelDropout, ConvBNAct, NConvs
+
+
+class InputTransition(nn.Module):
+    """1->16 channels, 5^3 conv + input-tiling residual
+    (reference vnet.py:57-79)."""
+    in_channels: int = 1
+    elu: bool = False
+    dtype: Any = jnp.float32
+    num_features: int = 16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        out = nn.Conv(self.num_features, (5, 5, 5), padding="SAME",
+                      dtype=self.dtype,
+                      kernel_init=nn.initializers.he_normal())(x)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=jnp.float32)(out)
+        out = out.astype(self.dtype)
+        repeat = self.num_features // self.in_channels
+        x_tile = jnp.tile(x, (1, 1, 1, 1, repeat)).astype(self.dtype)
+        return Activation(elu=self.elu, dtype=self.dtype)(out + x_tile)
+
+
+class DownTransition(nn.Module):
+    """Strided conv doubling channels + residual nConv stack
+    (reference vnet.py:82-113)."""
+    in_channels: int
+    n_convs: int
+    elu: bool = False
+    dropout: bool = False
+    down_stride: Tuple[int, int, int] = (2, 2, 2)
+    down_kernel: Tuple[int, int, int] = (2, 2, 2)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        out_channels = 2 * self.in_channels
+        down = nn.Conv(out_channels, tuple(self.down_kernel),
+                       strides=tuple(self.down_stride), padding="VALID",
+                       dtype=self.dtype,
+                       kernel_init=nn.initializers.he_normal())(x)
+        down = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=jnp.float32)(down)
+        down = down.astype(self.dtype)
+        down = Activation(elu=self.elu, dtype=self.dtype)(down)
+        out = down
+        if self.dropout:
+            out = ChannelDropout()(out, deterministic=not train)
+        out = NConvs(out_channels, self.n_convs, elu=self.elu,
+                     dtype=self.dtype)(out, train)
+        out = out + down
+        return Activation(elu=self.elu, dtype=self.dtype)(out)
+
+
+class UpTransition(nn.Module):
+    """Transposed-conv upsample + skip concat + residual nConv stack
+    (reference vnet.py:116-156)."""
+    in_channels: int
+    out_channels: int
+    n_convs: int
+    elu: bool = False
+    dropout: bool = False
+    dropout2: bool = False
+    up_stride: Tuple[int, int, int] = (2, 2, 2)
+    up_kernel: Tuple[int, int, int] = (2, 2, 2)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skipx, train: bool = True):
+        out = x
+        if self.dropout:
+            out = ChannelDropout()(out, deterministic=not train)
+        skip = skipx
+        if self.dropout2:
+            skip = ChannelDropout()(skip, deterministic=not train)
+        # VALID conv_transpose: out = (in-1)*stride + kernel, matching
+        # paddle Conv3DTranspose shape math (SURVEY §7 hard parts).
+        out = nn.ConvTranspose(self.out_channels // 2,
+                               tuple(self.up_kernel),
+                               strides=tuple(self.up_stride),
+                               padding="VALID", dtype=self.dtype,
+                               kernel_init=nn.initializers.he_normal())(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=jnp.float32)(out)
+        out = out.astype(self.dtype)
+        out = Activation(elu=self.elu, dtype=self.dtype)(out)
+        xcat = jnp.concatenate([out, skip.astype(self.dtype)], axis=-1)
+        out = NConvs(self.out_channels, self.n_convs, elu=self.elu,
+                     dtype=self.dtype)(xcat, train)
+        out = out + xcat
+        return Activation(elu=self.elu, dtype=self.dtype)(out)
+
+
+class OutputTransition(nn.Module):
+    """5^3 conv -> BN -> act -> 1^3 conv to num_classes
+    (reference vnet.py:159-175)."""
+    num_classes: int
+    elu: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        out = ConvBNAct(self.num_classes, (5, 5, 5), elu=self.elu,
+                        dtype=self.dtype)(x, train)
+        out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
+                      kernel_init=nn.initializers.he_normal())(out)
+        return out
+
+
+@manager.MODELS.add_component
+class VNet(nn.Module):
+    """V-Net (reference medicalseg/models/vnet.py:178-267).
+
+    Args mirror the reference YAML surface: ``elu``, ``in_channels``,
+    ``num_classes``, per-stage ``kernel_size``/``stride_size`` 4-tuples,
+    ``pretrained`` (checkpoint path/URL consumed by the config layer).
+    ``dtype`` selects the activation compute dtype (bf16 on TPU).
+    """
+    elu: bool = False
+    in_channels: int = 1
+    num_classes: int = 4
+    pretrained: Any = None
+    kernel_size: Sequence[Tuple[int, int, int]] = (
+        (2, 2, 2), (2, 2, 2), (2, 2, 2), (2, 2, 2))
+    stride_size: Sequence[Tuple[int, int, int]] = (
+        (2, 2, 2), (2, 2, 2), (2, 2, 2), (2, 2, 2))
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = x.astype(self.dtype)
+        ks, ss = self.kernel_size, self.stride_size
+        out16 = InputTransition(self.in_channels, self.elu,
+                                self.dtype)(x, train)
+        out32 = DownTransition(16, 1, self.elu, False, ss[0], ks[0],
+                               self.dtype)(out16, train)
+        out64 = DownTransition(32, 2, self.elu, False, ss[1], ks[1],
+                               self.dtype)(out32, train)
+        out128 = DownTransition(64, 3, self.elu, True, ss[2], ks[2],
+                                self.dtype)(out64, train)
+        out256 = DownTransition(128, 2, self.elu, True, ss[3], ks[3],
+                                self.dtype)(out128, train)
+        out = UpTransition(256, 256, 2, self.elu, True, True, ss[3], ks[3],
+                           self.dtype)(out256, out128, train)
+        out = UpTransition(256, 128, 2, self.elu, True, True, ss[2], ks[2],
+                           self.dtype)(out, out64, train)
+        out = UpTransition(128, 64, 1, self.elu, False, False, ss[1], ks[1],
+                           self.dtype)(out, out32, train)
+        out = UpTransition(64, 32, 1, self.elu, False, False, ss[0], ks[0],
+                           self.dtype)(out, out16, train)
+        out = OutputTransition(self.num_classes, self.elu,
+                               self.dtype)(out, train)
+        return [out.astype(jnp.float32)]

@@ -1,0 +1,165 @@
+# Copyright 2026. Apache License 2.0.
+"""Keras-style progress bar used by the eval loop.
+
+Same surface as the reference (medicalseg/utils/progbar.py:22-208):
+``Progbar(target).update(current, values)`` with stateful running means.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+class Progbar:
+    """Displays a progress bar with stateful metric averaging.
+
+    Args:
+        target: total number of steps, or None if unknown.
+        width: bar width in characters.
+        verbose: 0 silent, 1 bar, 2 one line per update.
+        stateful_metrics: metric names displayed as-is (not averaged).
+        interval: minimum seconds between visual updates.
+        unit_name: name of the step unit.
+    """
+
+    def __init__(self,
+                 target,
+                 width=30,
+                 verbose=1,
+                 interval=0.05,
+                 stateful_metrics=None,
+                 unit_name="step"):
+        self.target = target
+        self.width = width
+        self.verbose = verbose
+        self.interval = interval
+        self.unit_name = unit_name
+        self.stateful_metrics = set(stateful_metrics or [])
+        self._dynamic_display = ((hasattr(sys.stdout, "isatty") and
+                                  sys.stdout.isatty()) or
+                                 "ipykernel" in sys.modules or
+                                 "posix" in sys.modules or
+                                 "PYCHARM_HOSTED" in os.environ)
+        self._total_width = 0
+        self._seen_so_far = 0
+        self._values = {}
+        self._values_order = []
+        self._start = time.time()
+        self._last_update = 0
+
+    def update(self, current, values=None, finalize=None):
+        if finalize is None:
+            finalize = self.target is not None and current >= self.target
+
+        values = values or []
+        for k, v in values:
+            if k not in self._values_order:
+                self._values_order.append(k)
+            if k not in self.stateful_metrics:
+                value_base = max(current - self._seen_so_far, 1)
+                if k not in self._values:
+                    self._values[k] = [v * value_base, value_base]
+                else:
+                    self._values[k][0] += v * value_base
+                    self._values[k][1] += value_base
+            else:
+                self._values[k] = [v, 1]
+        self._seen_so_far = current
+
+        now = time.time()
+        info = " - %.0fs" % (now - self._start)
+        if self.verbose == 1:
+            if now - self._last_update < self.interval and not finalize:
+                return
+
+            prev_total_width = self._total_width
+            if self._dynamic_display:
+                sys.stdout.write("\b" * prev_total_width)
+                sys.stdout.write("\r")
+            else:
+                sys.stdout.write("\n")
+
+            if self.target is not None:
+                numdigits = int(np.log10(self.target)) + 1
+                bar = ("%" + str(numdigits) + "d/%d [") % (current,
+                                                           self.target)
+                prog = float(current) / self.target
+                prog_width = int(self.width * prog)
+                if prog_width > 0:
+                    bar += "=" * (prog_width - 1)
+                    bar += ">" if current < self.target else "="
+                bar += "." * (self.width - prog_width)
+                bar += "]"
+            else:
+                bar = "%7d/Unknown" % current
+            self._total_width = len(bar)
+            sys.stdout.write(bar)
+
+            if current:
+                time_per_unit = (now - self._start) / current
+            else:
+                time_per_unit = 0
+
+            if self.target is None or finalize:
+                if time_per_unit >= 1 or time_per_unit == 0:
+                    info += " %.0fs/%s" % (time_per_unit, self.unit_name)
+                elif time_per_unit >= 1e-3:
+                    info += " %.0fms/%s" % (time_per_unit * 1e3,
+                                            self.unit_name)
+                else:
+                    info += " %.0fus/%s" % (time_per_unit * 1e6,
+                                            self.unit_name)
+            else:
+                eta = time_per_unit * (self.target - current)
+                if eta > 3600:
+                    eta_format = "%d:%02d:%02d" % (eta // 3600,
+                                                   (eta % 3600) // 60,
+                                                   eta % 60)
+                elif eta > 60:
+                    eta_format = "%d:%02d" % (eta // 60, eta % 60)
+                else:
+                    eta_format = "%ds" % eta
+                info = " - ETA: %s" % eta_format
+
+            for k in self._values_order:
+                info += " - %s:" % k
+                if isinstance(self._values[k], list):
+                    avg = np.mean(
+                        self._values[k][0] / max(1, self._values[k][1]))
+                    if abs(avg) > 1e-3:
+                        info += " %.4f" % avg
+                    else:
+                        info += " %.4e" % avg
+                else:
+                    info += " %s" % self._values[k]
+
+            self._total_width += len(info)
+            if prev_total_width > self._total_width:
+                info += " " * (prev_total_width - self._total_width)
+            if finalize:
+                info += "\n"
+            sys.stdout.write(info)
+            sys.stdout.flush()
+        elif self.verbose == 2:
+            if finalize:
+                numdigits = int(np.log10(self.target)) + 1
+                count = ("%" + str(numdigits) + "d/%d") % (current,
+                                                           self.target)
+                info = count + info
+                for k in self._values_order:
+                    info += " - %s:" % k
+                    avg = np.mean(
+                        self._values[k][0] / max(1, self._values[k][1]))
+                    if avg > 1e-3:
+                        info += " %.4f" % avg
+                    else:
+                        info += " %.4e" % avg
+                info += "\n"
+                sys.stdout.write(info)
+                sys.stdout.flush()
+        self._last_update = now
+
+    def add(self, n, values=None):
+        self.update(self._seen_so_far + n, values)
