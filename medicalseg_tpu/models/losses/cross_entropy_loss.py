@@ -1,0 +1,56 @@
+# Copyright 2026. Apache License 2.0.
+"""Cross-entropy loss with dynamic class weights.
+
+Parity target: reference medicalseg/models/losses/cross_entropy_loss.py:
+23-87 — when ``weight`` is None, per-step inverse-frequency weights are
+derived from the softmax statistics (loss_utils.class_weights); the loss
+is the weight-normalized mean of per-voxel NLL with ignore_index masking
+(paddle F.cross_entropy(weight=..., ignore_index=...) semantics).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ...cvlibs import manager
+from .loss_utils import class_weights
+
+
+@manager.LOSSES.add_component
+class CrossEntropyLoss:
+    """CE over NDHWC logits and integer NDHW labels.
+
+    Args:
+        weight: per-class weights (list/array) or None for dynamic
+            inverse-frequency weights recomputed every step.
+        ignore_index: voxels with this label don't contribute.
+    """
+
+    def __init__(self, weight=None, ignore_index=255, data_format="NDHWC"):
+        self.ignore_index = ignore_index
+        self.EPS = 1e-8
+        self.weight = None if weight is None else jnp.asarray(
+            weight, jnp.float32)
+
+    def __call__(self, logits, labels):
+        labels = labels.astype(jnp.int32)
+        if logits.ndim == 4:
+            logits = logits[None]
+        num_classes = logits.shape[-1]
+
+        weight = self.weight
+        if weight is None:
+            # dynamic inverse-frequency weights (reference :68-69)
+            weight = class_weights(logits)
+        if weight.shape[0] != num_classes:
+            raise ValueError(
+                "The number of weights = {} must be the same as the number "
+                "of classes = {}.".format(weight.shape[0], num_classes))
+
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        safe_labels = jnp.clip(labels, 0, num_classes - 1)
+        nll = -jnp.take_along_axis(
+            log_probs, safe_labels[..., None], axis=-1)[..., 0]
+        valid = (labels != self.ignore_index).astype(jnp.float32)
+        w = jnp.take(weight, safe_labels) * valid
+        # paddle weighted-mean semantics: sum(w * nll) / sum(w)
+        return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), self.EPS)

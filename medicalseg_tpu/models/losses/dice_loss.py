@@ -1,0 +1,73 @@
+# Copyright 2026. Apache License 2.0.
+"""V-Net squared-denominator Dice loss.
+
+Parity target: reference medicalseg/models/losses/dice_loss.py:23-102 —
+sigmoid (default) or softmax normalization, one-hot labels, per-channel
+dice ``2*(p.t) / (p^2 + t^2)`` flattened over C x (N*D*H*W), returning
+``(1 - mean_dice, per_channel_dice)``. The per-channel dice doubles as
+the train/eval mDice metric (SURVEY §2.3). All-jnp so it runs inside the
+jitted train step; the caller materializes per_channel_dice on host only
+at log points.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ...cvlibs import manager
+from .loss_utils import flatten
+
+
+@manager.LOSSES.add_component
+class DiceLoss:
+    """Dice loss over NDHWC logits and integer NDHW labels.
+
+    Args:
+        sigmoid_norm: True -> sigmoid normalization (reference default);
+            False -> softmax over the class axis.
+        weight: optional per-class weights multiplied into the intersects.
+    """
+
+    def __init__(self, sigmoid_norm=True, weight=None):
+        self.weight = None if weight is None else jnp.asarray(
+            weight, jnp.float32)
+        self.eps = 1e-5
+        self.sigmoid_norm = bool(sigmoid_norm)
+
+    def compute_per_channel_dice(self, probs, target, epsilon=1e-6,
+                                 weight=None):
+        """probs/target: (N, D, H, W, C) float. Returns per-channel dice [C]."""
+        if probs.shape != target.shape:
+            raise ValueError(
+                "'input' and 'target' must have the same shape but input "
+                "is {} and target is {}".format(probs.shape, target.shape))
+        probs = flatten(probs)  # (C, N*D*H*W)
+        target = flatten(target).astype(jnp.float32)
+        intersect = jnp.sum(probs * target, axis=-1)
+        if weight is not None:
+            intersect = weight * intersect
+        denominator = jnp.sum(probs * probs, axis=-1) + \
+            jnp.sum(target * target, axis=-1)
+        return 2 * (intersect / jnp.clip(denominator, min=epsilon))
+
+    def __call__(self, logits, labels):
+        """logits: [N, D, H, W, C] float; labels: [N, D, H, W] int.
+
+        Returns (loss, per_channel_dice[C]) — the tuple contract consumed
+        by MixedLoss / loss_computation (reference dice_loss.py:95-102).
+        """
+        if not jnp.issubdtype(labels.dtype, jnp.integer):
+            raise TypeError(
+                "The label should be int but got {}".format(labels.dtype))
+        if logits.ndim == 4:
+            logits = logits[None]
+        num_classes = logits.shape[-1]
+        labels_one_hot = jax.nn.one_hot(labels, num_classes,
+                                        dtype=jnp.float32)
+        if self.sigmoid_norm:
+            probs = jax.nn.sigmoid(logits)
+        else:
+            probs = jax.nn.softmax(logits, axis=-1)
+        per_channel_dice = self.compute_per_channel_dice(
+            probs, labels_one_hot, weight=self.weight)
+        loss = 1.0 - jnp.mean(per_channel_dice)
+        return loss, per_channel_dice

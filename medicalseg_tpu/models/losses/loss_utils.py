@@ -1,0 +1,27 @@
+# Copyright 2026. Apache License 2.0.
+"""Loss helpers (reference: medicalseg/models/losses/loss_utils.py:18-40).
+
+The framework is channels-last (NDHWC), so "flatten channel-first" is a
+single reshape+transpose; all math matches the reference's NCDHW
+formulation numerically.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def flatten(tensor):
+    """(N, ..., C) -> (C, N*...) channel-major flatten
+    (reference loss_utils.py:18-28 transposes NCDHW -> C, N*D*H*W)."""
+    c = tensor.shape[-1]
+    return tensor.reshape(-1, c).T
+
+
+def class_weights(logits):
+    """Inverse-frequency class weights from softmax statistics with
+    stop_gradient (reference loss_utils.py:31-40). logits: (N,...,C)."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    flattened = flatten(probs)
+    nominator = jnp.sum(1.0 - flattened, axis=-1)
+    denominator = jnp.sum(flattened, axis=-1)
+    return jax.lax.stop_gradient(nominator / denominator)

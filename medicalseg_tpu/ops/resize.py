@@ -205,24 +205,26 @@ def crop_resize3d(vol, start, crop, size, order=1):
 
 def resize_to_spacing(vol, spacing, new_spacing=None, new_shape=None,
                       order=1):
-    """Spacing-aware resample (reference geometry.py:31-69 semantics).
-
-    Either ``new_spacing`` (target mm per voxel, xyz order like the
-    reference) or ``new_shape`` (d, h, w) must be given. Returns
-    (resampled, real_new_spacing).
+    """Spacing-aware resample (reference geometry.py:31-69 semantics:
+    spacing / new_spacing / new_shape are all in the volume's own axis
+    order). Either ``new_spacing`` (target mm per voxel) or ``new_shape``
+    must be given. Returns (resampled, real_new_spacing).
     """
-    in_dhw = vol.shape[:3]
-    spacing = np.asarray(spacing, dtype=np.float64)[:3]
+    in_dhw = np.asarray(vol.shape[:3], dtype=np.float64)
+    spacing = None if spacing is None else np.asarray(
+        spacing, dtype=np.float64)
+    if spacing is not None and spacing.size == 4:
+        spacing = spacing[1:]
     if new_shape is None:
         if new_spacing is None:
             raise ValueError("Give either new_spacing or new_shape")
         new_spacing = np.asarray(new_spacing, dtype=np.float64)[:3]
-        # spacing is x,y,z ; volume is z,y,x (reference geometry.py:44-52)
-        zoom = (spacing / new_spacing)[::-1]
-        new_shape = np.round(np.asarray(in_dhw) * zoom).astype(int)
+        new_shape = np.round(in_dhw * spacing[:3] / new_spacing)
     else:
-        new_shape = np.asarray(new_shape, dtype=int)
-    real_zoom = new_shape / np.asarray(in_dhw, dtype=np.float64)
-    real_spacing = tuple((spacing[::-1] / real_zoom)[::-1])
+        new_shape = np.asarray(new_shape, dtype=np.float64)
+        if spacing is not None:
+            new_spacing = tuple((in_dhw / new_shape) * spacing[:3])
+        else:
+            new_spacing = None
     out = resize3d(vol, tuple(int(s) for s in new_shape), order=order)
-    return out, real_spacing
+    return out, new_spacing

@@ -1,0 +1,85 @@
+# Copyright 2026. Apache License 2.0.
+"""Generate a synthetic phase0 dataset for smoke tests / CPU runs.
+
+Creates N volumes of nested spheres (3 classes: background / outer shell
+/ core) in the same layout the Prep tools emit (SURVEY §2.5): ``images/``
++ ``labels/`` .npy files, ``train_list.txt`` / ``val_list.txt``, and a
+dataset.json with per-file geometry — so the full train/val/export stack
+runs end-to-end without downloading real data.
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def make_volume(rng, size=32, num_classes=3):
+    """A noisy volume with a random bright sphere (class 1) and a denser
+    core (class 2)."""
+    coords = np.stack(np.meshgrid(*([np.arange(size)] * 3),
+                                  indexing="ij")).astype(np.float32)
+    center = rng.uniform(size * 0.3, size * 0.7, size=3)
+    radius = rng.uniform(size * 0.15, size * 0.3)
+    dist = np.sqrt(((coords - center[:, None, None, None]) ** 2).sum(0))
+
+    label = np.zeros((size,) * 3, np.int32)
+    label[dist < radius] = 1
+    label[dist < radius * 0.5] = 2
+
+    img = rng.normal(0.2, 0.05, (size,) * 3).astype(np.float32)
+    img[label == 1] += 0.4
+    img[label == 2] += 0.4
+    img = np.clip(img, 0, 1) * 255.0
+    return img.astype(np.float32), label
+
+
+def generate(root, num_volumes=8, size=32, num_classes=3, seed=0,
+             val_frac=0.25):
+    rng = np.random.RandomState(seed)
+    phase0 = os.path.join(root, "synthetic", "synthetic_phase0")
+    os.makedirs(os.path.join(phase0, "images"), exist_ok=True)
+    os.makedirs(os.path.join(phase0, "labels"), exist_ok=True)
+
+    entries = []
+    json_training = {}
+    for i in range(num_volumes):
+        img, lab = make_volume(rng, size, num_classes)
+        img_rel = "images/vol_{:03d}.npy".format(i)
+        lab_rel = "labels/vol_{:03d}.npy".format(i)
+        np.save(os.path.join(phase0, img_rel), img)
+        np.save(os.path.join(phase0, lab_rel), lab)
+        entries.append("{} {}".format(img_rel, lab_rel))
+        json_training["vol_{:03d}".format(i)] = {
+            "spacing_resample": [1.0, 1.0, 1.0],
+            "origin": [0.0, 0.0, 0.0],
+            "direction": [1, 0, 0, 0, 1, 0, 0, 0, 1],
+            "dim": 3,
+            "shape": [size, size, size],
+        }
+
+    n_val = max(1, int(num_volumes * val_frac))
+    with open(os.path.join(phase0, "train_list.txt"), "w") as f:
+        f.write("\n".join(entries[:-n_val]) + "\n")
+    with open(os.path.join(phase0, "val_list.txt"), "w") as f:
+        f.write("\n".join(entries[-n_val:]) + "\n")
+
+    raw_dir = os.path.join(root, "synthetic", "synthetic_raw")
+    os.makedirs(raw_dir, exist_ok=True)
+    with open(os.path.join(raw_dir, "dataset.json"), "w") as f:
+        json.dump({"name": "synthetic", "training": json_training,
+                   "labels": {str(i): str(i) for i in range(num_classes)}},
+                  f, indent=2)
+    return phase0
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--root", default="data")
+    parser.add_argument("--num_volumes", type=int, default=8)
+    parser.add_argument("--size", type=int, default=32)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+    path = generate(args.root, args.num_volumes, args.size, seed=args.seed)
+    print("Synthetic dataset written to", path)
