@@ -50,6 +50,22 @@ class TrainLoader:
         logger.info("TrainLoader mode: {} (batch_size={})".format(
             self.mode, batch_size))
 
+        # native C++ threaded reader (native/medloader.cpp) for the raw
+        # volume path; falls back to numpy when the toolchain is absent
+        self._native_img = None
+        self._native_lab = None
+        if self.mode == "device":
+            try:
+                from ..data_native import NativeVolumeLoader
+                img_paths = [p[0] for p in dataset.file_list]
+                lab_paths = [p[1] for p in dataset.file_list]
+                self._native_img = NativeVolumeLoader(img_paths,
+                                                      threads=num_workers)
+                self._native_lab = NativeVolumeLoader(lab_paths,
+                                                      threads=num_workers)
+            except Exception as e:
+                logger.warning("native loader disabled: {}".format(e))
+
         self._indices = None
         self._pos = 0
         self._queue = queue.Queue(maxsize=prefetch)
@@ -80,6 +96,10 @@ class TrainLoader:
     def _make_batch(self):
         idxs = self._next_indices()
         if self.mode == "device":
+            if self._native_img is not None:
+                images = self._native_img.load_batch(idxs, np.float32)
+                labels = self._native_lab.load_batch(idxs, np.int32)
+                return images, labels
             pairs = [self._load_raw(i) for i in idxs]
             images = np.stack([np.asarray(p[0], np.float32)
                                for p in pairs])

@@ -119,7 +119,7 @@ def train(model,
     lab_sh = mesh_lib.label_sharding(mesh)
     jit_step = jax.jit(
         step_fn,
-        in_shardings=(None, img_sh, lab_sh, repl),
+        in_shardings=(repl, img_sh, lab_sh, repl),
         donate_argnums=(0,))
     base_key = jax.random.PRNGKey(seed + 1)
 

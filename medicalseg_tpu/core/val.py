@@ -19,6 +19,7 @@ import time
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from ..utils import (Progbar, TimeAverager, logger, metric, save_array)
 from ..utils.loss_utils import loss_computation
@@ -64,10 +65,25 @@ def evaluate(state,
 
     @jax.jit
     def _eval_volume(variables, im, label):
-        pred, logit = infer.inference(
-            state.apply_fn, variables, im,
-            ori_shape=label.shape[-3:],
-            transforms=eval_dataset.transforms.transforms)
+        if sw_num:
+            # sliding-window whole-volume inference with overlap blending
+            # (beyond-reference; core/sliding_window.py)
+            from .sliding_window import sliding_window_inference
+            dhw = im.shape[1:4]
+            roi = tuple(max(1, s // int(sw_num)) for s in dhw)
+            logit = sliding_window_inference(
+                state.apply_fn, variables, im[0], roi,
+                num_classes=eval_dataset.num_classes)[None]
+            if tuple(label.shape[-3:]) != logit.shape[1:4]:
+                logit = infer.reverse_transform(
+                    logit, label.shape[-3:],
+                    eval_dataset.transforms.transforms)
+            pred = jnp.argmax(logit, axis=-1).astype(jnp.int32)
+        else:
+            pred, logit = infer.inference(
+                state.apply_fn, variables, im,
+                ori_shape=label.shape[-3:],
+                transforms=eval_dataset.transforms.transforms)
         loss_list, per_channel_dice = loss_computation(
             [logit], label, new_loss)
         return pred, logit, sum(loss_list), per_channel_dice

@@ -1,5 +1,5 @@
 # Copyright 2026. Apache License 2.0.
-from . import logger
+from . import logger, metric, train_profiler, visualize
 from .checkpoint import (load_checkpoint, load_entire_model,
                          load_pretrained_model, resume, save_checkpoint,
                          worker_init_fn)
@@ -15,7 +15,8 @@ from .timer import TimeAverager, calculate_eta
 from .utils import get_image_list, save_array, seed_all
 
 __all__ = [
-    "logger", "TimeAverager", "calculate_eta", "Progbar", "get_sys_env",
+    "logger", "metric", "train_profiler", "visualize",
+    "TimeAverager", "calculate_eta", "Progbar", "get_sys_env",
     "DATA_HOME", "TMP_HOME", "PRETRAINED_MODEL_HOME", "SEG_HOME",
     "save_checkpoint", "load_checkpoint", "load_pretrained_model",
     "load_entire_model", "resume", "worker_init_fn", "config_check",
