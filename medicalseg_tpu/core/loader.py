@@ -54,15 +54,20 @@ class TrainLoader:
         # volume path; falls back to numpy when the toolchain is absent
         self._native_img = None
         self._native_lab = None
+        self._native_map = None
         if self.mode == "device":
             try:
                 from ..data_native import NativeVolumeLoader
-                img_paths = [p[0] for p in dataset.file_list]
-                lab_paths = [p[1] for p in dataset.file_list]
-                self._native_img = NativeVolumeLoader(img_paths,
-                                                      threads=num_workers)
-                self._native_lab = NativeVolumeLoader(lab_paths,
-                                                      threads=num_workers)
+                # dedupe paths (the train list is repeated x10, reference
+                # dataset.py:110-111) so the native LRU cache holds each
+                # volume once
+                uniq = sorted({tuple(p) for p in dataset.file_list})
+                self._native_map = {
+                    pair: i for i, pair in enumerate(uniq)}
+                self._native_img = NativeVolumeLoader(
+                    [p[0] for p in uniq], threads=num_workers)
+                self._native_lab = NativeVolumeLoader(
+                    [p[1] for p in uniq], threads=num_workers)
             except Exception as e:
                 logger.warning("native loader disabled: {}".format(e))
 
@@ -76,14 +81,18 @@ class TrainLoader:
     # ------------------------------------------------------------------
     def _next_indices(self):
         n = len(self.dataset)
-        if self._indices is None or self._pos + self.batch_size > n:
-            self._indices = np.arange(n)
-            if self.shuffle:
-                self.rng.shuffle(self._indices)
-            self._pos = 0
-        out = self._indices[self._pos:self._pos + self.batch_size]
-        self._pos += self.batch_size
-        return out
+        out = []
+        while len(out) < self.batch_size:
+            if self._indices is None or self._pos >= len(self._indices):
+                self._indices = np.arange(n)
+                if self.shuffle:
+                    self.rng.shuffle(self._indices)
+                self._pos = 0
+            take = min(self.batch_size - len(out),
+                       len(self._indices) - self._pos)
+            out.extend(self._indices[self._pos:self._pos + take])
+            self._pos += take
+        return np.asarray(out)
 
     def _load_raw(self, idx):
         if self.cache is not None:
@@ -97,8 +106,10 @@ class TrainLoader:
         idxs = self._next_indices()
         if self.mode == "device":
             if self._native_img is not None:
-                images = self._native_img.load_batch(idxs, np.float32)
-                labels = self._native_lab.load_batch(idxs, np.int32)
+                uidx = [self._native_map[tuple(self.dataset.file_list[i])]
+                        for i in idxs]
+                images = self._native_img.load_batch(uidx, np.float32)
+                labels = self._native_lab.load_batch(uidx, np.int32)
                 return images, labels
             pairs = [self._load_raw(i) for i in idxs]
             images = np.stack([np.asarray(p[0], np.float32)

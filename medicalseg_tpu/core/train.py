@@ -74,7 +74,11 @@ def train(model,
         mesh = mesh_lib.build_mesh(space=space)
     is_primary = jax.process_index() == 0
 
-    loader = TrainLoader(train_dataset, batch_size=batch_size,
+    # reference semantics: batch_size is per device/rank
+    # (DistributedBatchSampler hands each rank batch_size samples,
+    # core/train.py:87-88); the global batch spans the data axis.
+    global_batch = batch_size * mesh.shape["data"]
+    loader = TrainLoader(train_dataset, batch_size=global_batch,
                          shuffle=True, num_workers=num_workers, seed=seed,
                          mode=data_loader_mode)
 
@@ -91,7 +95,7 @@ def train(model,
         dhw = np.moveaxis(np.asarray(im0), 0, -1).shape[:3]
         augment_fn = None
     in_channels = getattr(model, "in_channels", 1)
-    sample = jnp.zeros((batch_size,) + tuple(dhw) + (in_channels,),
+    sample = jnp.zeros((global_batch,) + tuple(dhw) + (in_channels,),
                        jnp.float32)
     rng = jax.random.PRNGKey(seed)
     state = TrainState.create(model, optimizer, sample, rng)
@@ -158,7 +162,7 @@ def train(model,
             train_profiler.add_profiler_step(profiler_options)
 
             batch_cost_averager.record(
-                time.time() - batch_start, num_samples=batch_size)
+                time.time() - batch_start, num_samples=global_batch)
 
             if it % log_iters == 0 and is_primary:
                 # fetch the metric window from device

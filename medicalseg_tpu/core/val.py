@@ -63,8 +63,7 @@ def evaluate(state,
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    @jax.jit
-    def _eval_volume(variables, im, label):
+    def _eval_volume_impl(variables, im, label):
         if sw_num:
             # sliding-window whole-volume inference with overlap blending
             # (beyond-reference; core/sliding_window.py)
@@ -87,6 +86,14 @@ def evaluate(state,
         loss_list, per_channel_dice = loss_computation(
             [logit], label, new_loss)
         return pred, logit, sum(loss_list), per_channel_dice
+
+    # cache the jitted per-volume program on the dataset so repeated
+    # in-training evals don't re-trace (shapes are constant per dataset)
+    cache_key = "_jitted_eval_sw{}".format(sw_num)
+    _eval_volume = getattr(eval_dataset, cache_key, None)
+    if _eval_volume is None:
+        _eval_volume = jax.jit(_eval_volume_impl)
+        setattr(eval_dataset, cache_key, _eval_volume)
 
     mdice = 0.0
     channel_dice_array = np.array([])

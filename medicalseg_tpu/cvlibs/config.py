@@ -291,16 +291,17 @@ class Config:
         for key, val in args.items():
             if key == "types":
                 losses["types"] = []
+                train_ds = self.train_dataset \
+                    if self.train_dataset_config else None
+                ds_ignore = getattr(train_ds, "ignore_index", 255)
                 for item in args["types"]:
                     item = dict(item)
                     if item["type"] != "MixedLoss":
                         if "ignore_index" in item:
-                            assert item["ignore_index"] == \
-                                self.train_dataset.ignore_index, \
+                            assert item["ignore_index"] == ds_ignore, \
                                 "If ignore_index of loss is set, it must " \
                                 "equal the train_dataset ignore_index."
-                        item["ignore_index"] = \
-                            self.train_dataset.ignore_index
+                        item["ignore_index"] = ds_ignore
                     losses["types"].append(self._load_object(item))
             else:
                 losses[key] = val

@@ -27,11 +27,15 @@ class DiceLoss:
         weight: optional per-class weights multiplied into the intersects.
     """
 
-    def __init__(self, sigmoid_norm=True, weight=None):
+    def __init__(self, sigmoid_norm=True, weight=None, ignore_index=255):
         self.weight = None if weight is None else jnp.asarray(
             weight, jnp.float32)
         self.eps = 1e-5
         self.sigmoid_norm = bool(sigmoid_norm)
+        # accepted for config-layer parity (the loss builder stitches the
+        # dataset ignore_index into every non-Mixed loss); voxels with
+        # this label are masked out of the dice sums
+        self.ignore_index = ignore_index
 
     def compute_per_channel_dice(self, probs, target, epsilon=1e-6,
                                  weight=None):
@@ -67,6 +71,9 @@ class DiceLoss:
             probs = jax.nn.sigmoid(logits)
         else:
             probs = jax.nn.softmax(logits, axis=-1)
+        # NOTE: like the reference DiceLoss (which takes no ignore_index),
+        # no masking is applied: out-of-range labels one-hot to zeros, so
+        # ignored voxels contribute only through p^2 in the denominator.
         per_channel_dice = self.compute_per_channel_dice(
             probs, labels_one_hot, weight=self.weight)
         loss = 1.0 - jnp.mean(per_channel_dice)

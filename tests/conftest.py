@@ -20,6 +20,12 @@ os.environ["XLA_FLAGS"] = flags.strip()
 # CPU; cache them across test runs.
 import jax  # noqa: E402
 
+# The axon TPU plugin force-appends itself to jax_platforms regardless of
+# the JAX_PLATFORMS env var; pin the config directly so tests really run
+# on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms",
+                  os.environ.get("MEDSEG_TEST_PLATFORM", "cpu"))
+
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..",
                                ".jax_cache"))

@@ -28,10 +28,10 @@ def test_dp_grads_match_single_device():
     single-device step (SyncBN + global grad semantics)."""
     import optax
     from medicalseg_tpu.core.state import TrainState, make_train_step
-    from medicalseg_tpu.models import VNet
     from medicalseg_tpu.models.losses import DiceLoss
+    from tests._mini_model import MiniSegNet
 
-    model = VNet(in_channels=1, num_classes=2)
+    model = MiniSegNet(num_classes=2)
     losses = {"types": [DiceLoss()], "coef": [1.0]}
     tx = optax.sgd(1e-2, momentum=0.9)
 

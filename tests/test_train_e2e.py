@@ -39,8 +39,16 @@ def datasets(synthetic_root):
 
 
 def _small_vnet(num_classes=3):
-    from medicalseg_tpu.models import VNet
-    return VNet(in_channels=1, num_classes=num_classes)
+    # MiniSegNet keeps the e2e compile cost tractable on the 1-core test
+    # box; the full VNet contract is covered in test_models.py.
+    from tests._mini_model import MiniSegNet
+    return MiniSegNet(num_classes=num_classes)
+
+
+def _test_mesh():
+    import jax
+    from medicalseg_tpu.parallel import mesh as mesh_lib
+    return mesh_lib.build_mesh(devices=jax.devices()[:2])
 
 
 def test_train_loop_e2e(datasets, tmp_path):
@@ -60,9 +68,9 @@ def test_train_loop_e2e(datasets, tmp_path):
     save_dir = str(tmp_path / "output")
     state = train(
         _small_vnet(), train_ds, val_dataset=val_ds, optimizer=tx,
-        lr_scheduler=schedule, save_dir=save_dir, iters=6, batch_size=2,
+        lr_scheduler=schedule, save_dir=save_dir, iters=6, batch_size=1,
         save_interval=3, log_iters=2, num_workers=1, losses=losses,
-        keep_checkpoint_max=1, seed=0)
+        keep_checkpoint_max=1, seed=0, mesh=_test_mesh())
     assert int(state.step) == 6
     # checkpoints: keep_checkpoint_max=1 evicted iter_3
     assert os.path.isdir(os.path.join(save_dir, "iter_6"))
@@ -77,9 +85,10 @@ def test_train_loop_e2e(datasets, tmp_path):
     state2 = train_fn(
         _small_vnet(), train_ds, val_dataset=None, optimizer=tx,
         lr_scheduler=schedule, save_dir=str(tmp_path / "output2"),
-        iters=7, batch_size=2, save_interval=7, log_iters=1,
+        iters=7, batch_size=1, save_interval=7, log_iters=1,
         num_workers=1, losses=losses,
-        resume_model=os.path.join(save_dir, "iter_6"), seed=0)
+        resume_model=os.path.join(save_dir, "iter_6"), seed=0,
+        mesh=_test_mesh())
     assert int(state2.step) == 7
 
 
