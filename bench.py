@@ -20,6 +20,19 @@ import time
 import numpy as np
 
 
+def _sync(x):
+    """Force execution to completion by fetching one element.
+
+    On the axon TPU terminal, jax.block_until_ready returns before the
+    enqueued programs actually run; a host fetch of (any part of) the
+    final output is the reliable fence (device programs execute FIFO, so
+    syncing the last result syncs everything before it).
+    """
+    import jax
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return np.asarray(leaf).ravel()[0]
+
+
 def bench_pipeline(n_volumes=20, raw_shape=(200, 512, 512), iters=3):
     import jax
     import jax.numpy as jnp
@@ -49,20 +62,20 @@ def bench_pipeline(n_volumes=20, raw_shape=(200, 512, 512), iters=3):
         np.float32)) for _ in range(4)]
 
     # warmup/compile
-    jax.block_until_ready(pipeline(variables, raws[0]))
+    _sync(pipeline(variables, raws[0]))
 
     best = 0.0
     for _ in range(iters):
         t0 = time.time()
         for i in range(n_volumes):
             out = pipeline(variables, raws[i % len(raws)])
-        jax.block_until_ready(out)
+        _sync(out)
         dt = time.time() - t0
         best = max(best, n_volumes / dt)
     return best
 
 
-def bench_train(batch=2, iters=10):
+def bench_train(batch=1, iters=10, remat=True):
     import jax
     import jax.numpy as jnp
     import optax
@@ -84,8 +97,10 @@ def bench_train(batch=2, iters=10):
     aug = DeviceAugmentor([
         RandomResizedCrop3D(size=128, scale=(0.8, 1.2)),
         RandomFlip3D()])
-    step = jax.jit(make_train_step(losses, augment_fn=aug._augment_batch),
-                   donate_argnums=(0,))
+    step = jax.jit(
+        make_train_step(losses, augment_fn=aug._augment_batch,
+                        checkpoint_policy="full" if remat else None),
+        donate_argnums=(0,))
 
     sample = jnp.zeros((batch, 128, 128, 128, 1), jnp.float32)
     state = TrainState.create(model, tx, sample, jax.random.PRNGKey(0))
@@ -98,18 +113,28 @@ def bench_train(batch=2, iters=10):
     key = jax.random.PRNGKey(1)
 
     state, m = step(state, images, labels, key)  # compile
-    jax.block_until_ready(m["loss"])
+    _sync(m["loss"])
 
     t0 = time.time()
     for _ in range(iters):
         state, m = step(state, images, labels, key)
-    jax.block_until_ready(m["loss"])
+    _sync(m["loss"])
     dt = time.time() - t0
     return batch * iters / dt
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compile cache: VNet programs take minutes to compile via
+    # the remote helper; repeated bench runs should reuse them
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     backend = jax.devices()[0].platform
     small = backend == "cpu"
@@ -118,8 +143,11 @@ def main():
         n_volumes=4 if small else 20,
         raw_shape=(64, 128, 128) if small else (200, 512, 512),
         iters=1 if small else 3)
-    train_pps = bench_train(batch=1 if small else 2,
-                            iters=2 if small else 10)
+    try:
+        train_pps = bench_train(batch=1, iters=2 if small else 10)
+    except Exception as e:
+        print("# train bench failed: {}".format(e))
+        train_pps = 0.0
 
     ref_gpu_preprocess_vps = 20 / 31.4  # BASELINE.md GPU path
     result = {

@@ -81,15 +81,18 @@ def make_train_step(losses: dict, augment_fn: Optional[Callable] = None,
             images, labels = augment_fn(images, labels, aug_key)
 
         def loss_fn(params):
-            apply = state.apply_fn
+            def fwd(variables, x, dropout_key):
+                return state.apply_fn(
+                    variables, x, train=True,
+                    rngs={"dropout": dropout_key},
+                    mutable=["batch_stats"])
             if checkpoint_policy == "full":
-                apply = jax.checkpoint(
-                    apply, static_argnums=(), policy=None)
-            logits_list, new_model_state = apply(
+                # rematerialize the forward pass: trade FLOPs for HBM on
+                # large volumes (SURVEY §7 / task brief: jax.checkpoint)
+                fwd = jax.checkpoint(fwd)
+            logits_list, new_model_state = fwd(
                 {"params": params, "batch_stats": state.batch_stats},
-                images, train=True,
-                rngs={"dropout": drop_key},
-                mutable=["batch_stats"])
+                images, drop_key)
             loss_list, per_channel_dice = loss_computation(
                 logits_list, labels, losses)
             total = sum(loss_list)
@@ -114,6 +117,32 @@ def make_train_step(losses: dict, augment_fn: Optional[Callable] = None,
         return new_state, metrics
 
     return step
+
+
+def make_multi_step(losses: dict, n_steps: int,
+                    augment_fn: Optional[Callable] = None,
+                    checkpoint_policy: Optional[str] = None):
+    """A train step that advances ``n_steps`` iterations per dispatch.
+
+    ``lax.scan`` over a [n_steps, N, ...] super-batch: one host->device
+    round trip per n_steps, amortizing dispatch/tunnel latency (useful
+    when the host is far from the chips). Returns stacked per-step
+    metrics.
+    """
+    step = make_train_step(losses, augment_fn=augment_fn,
+                           checkpoint_policy=checkpoint_policy)
+
+    def multi(state, images, labels, key):
+        def body(carry, xs):
+            st = carry
+            im, lab = xs
+            st, metrics = step(st, im, lab, key)
+            return st, metrics
+
+        state, metrics = jax.lax.scan(body, state, (images, labels))
+        return state, metrics
+
+    return multi
 
 
 def make_eval_step(losses: dict):

@@ -39,7 +39,12 @@ class DiceLoss:
 
     def compute_per_channel_dice(self, probs, target, epsilon=1e-6,
                                  weight=None):
-        """probs/target: (N, D, H, W, C) float. Returns per-channel dice [C]."""
+        """probs/target: (N, D, H, W, C) float. Returns per-channel dice [C].
+
+        Kept for API parity with the reference (dice_loss.py:45-74); the
+        main path uses the one-hot-free reduction in __call__ which is
+        mathematically identical.
+        """
         if probs.shape != target.shape:
             raise ValueError(
                 "'input' and 'target' must have the same shape but input "
@@ -58,6 +63,13 @@ class DiceLoss:
 
         Returns (loss, per_channel_dice[C]) — the tuple contract consumed
         by MixedLoss / loss_computation (reference dice_loss.py:95-102).
+
+        TPU note: the reference materializes a one-hot (N,C,spatial)
+        tensor; on TPU a trailing C=3..20 axis lane-pads to 128 (up to
+        ~40x HBM blow-up at 128^3). The sums below are the same numbers
+        computed with per-class boolean masks — no one-hot, no transpose:
+          intersect_c = sum(p_c * [label==c])
+          denom_c     = sum(p_c^2) + count(label==c)  (one-hot t => t^2=t)
         """
         if not jnp.issubdtype(labels.dtype, jnp.integer):
             raise TypeError(
@@ -65,16 +77,24 @@ class DiceLoss:
         if logits.ndim == 4:
             logits = logits[None]
         num_classes = logits.shape[-1]
-        labels_one_hot = jax.nn.one_hot(labels, num_classes,
-                                        dtype=jnp.float32)
         if self.sigmoid_norm:
             probs = jax.nn.sigmoid(logits)
         else:
             probs = jax.nn.softmax(logits, axis=-1)
-        # NOTE: like the reference DiceLoss (which takes no ignore_index),
-        # no masking is applied: out-of-range labels one-hot to zeros, so
-        # ignored voxels contribute only through p^2 in the denominator.
-        per_channel_dice = self.compute_per_channel_dice(
-            probs, labels_one_hot, weight=self.weight)
+
+        labels = labels.astype(jnp.int32)
+        intersects = []
+        denoms = []
+        for c in range(num_classes):
+            p_c = probs[..., c].astype(jnp.float32)
+            mask_c = (labels == c).astype(jnp.float32)
+            intersects.append(jnp.sum(p_c * mask_c))
+            denoms.append(jnp.sum(p_c * p_c) + jnp.sum(mask_c))
+        intersect = jnp.stack(intersects)
+        denominator = jnp.stack(denoms)
+        if self.weight is not None:
+            intersect = self.weight * intersect
+        per_channel_dice = 2 * (intersect /
+                                jnp.clip(denominator, min=1e-6))
         loss = 1.0 - jnp.mean(per_channel_dice)
         return loss, per_channel_dice

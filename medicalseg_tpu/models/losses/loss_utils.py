@@ -19,9 +19,14 @@ def flatten(tensor):
 
 def class_weights(logits):
     """Inverse-frequency class weights from softmax statistics with
-    stop_gradient (reference loss_utils.py:31-40). logits: (N,...,C)."""
+    stop_gradient (reference loss_utils.py:31-40). logits: (N,...,C).
+
+    Computed as per-class sums over the trailing axis (no channel-major
+    transpose — TPU-layout friendly): nominator = V - sum(p_c),
+    denominator = sum(p_c).
+    """
     probs = jax.nn.softmax(logits, axis=-1)
-    flattened = flatten(probs)
-    nominator = jnp.sum(1.0 - flattened, axis=-1)
-    denominator = jnp.sum(flattened, axis=-1)
-    return jax.lax.stop_gradient(nominator / denominator)
+    total = jnp.float32(probs.size // probs.shape[-1])
+    sums = jnp.sum(probs.astype(jnp.float32),
+                   axis=tuple(range(probs.ndim - 1)))
+    return jax.lax.stop_gradient((total - sums) / sums)

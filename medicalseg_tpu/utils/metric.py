@@ -48,15 +48,18 @@ def calculate_area(pred, label, num_classes, ignore_index=255):
     label = label.reshape(-1).astype(jnp.int32)
     mask = label != ignore_index
 
-    classes = jnp.arange(num_classes, dtype=jnp.int32)
-    pred_onehot = (pred[:, None] == classes[None, :]) & mask[:, None]
-    label_onehot = label[:, None] == classes[None, :]
-
-    pred_area = jnp.sum(pred_onehot.astype(jnp.int32), axis=0)
-    label_area = jnp.sum(label_onehot.astype(jnp.int32), axis=0)
-    intersect_area = jnp.sum((pred_onehot & label_onehot).astype(jnp.int32),
-                             axis=0)
-    return intersect_area, pred_area, label_area
+    # per-class masked sums (a (V, C) one-hot would lane-pad C to 128 on
+    # TPU — the per-class form keeps everything in flat V-major layouts)
+    pred_area, label_area, intersect_area = [], [], []
+    for c in range(num_classes):
+        pred_c = (pred == c) & mask
+        label_c = label == c
+        pred_area.append(jnp.sum(pred_c.astype(jnp.int32)))
+        label_area.append(jnp.sum(label_c.astype(jnp.int32)))
+        intersect_area.append(jnp.sum((pred_c & label_c).astype(
+            jnp.int32)))
+    return (jnp.stack(intersect_area), jnp.stack(pred_area),
+            jnp.stack(label_area))
 
 
 def mean_iou(intersect_area, pred_area, label_area):
