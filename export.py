@@ -57,6 +57,9 @@ def main(args):
     from medicalseg_tpu.cvlibs import Config
     from medicalseg_tpu.utils import load_entire_model, logger
 
+    from medicalseg_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     os.environ.setdefault("MEDICALSEG_EXPORT_STAGE", "True")
 
     cfg = Config(args.cfg)

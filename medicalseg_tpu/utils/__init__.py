@@ -3,6 +3,7 @@ from . import logger, metric, train_profiler, visualize
 from .checkpoint import (load_checkpoint, load_entire_model,
                          load_pretrained_model, resume, save_checkpoint,
                          worker_init_fn)
+from .compile_cache import enable_compile_cache
 from .config_check import config_check
 from .download import download_file_and_uncompress
 from .env import (DATA_HOME, PRETRAINED_MODEL_HOME, SEG_HOME, TMP_HOME,
@@ -22,5 +23,5 @@ __all__ = [
     "load_entire_model", "resume", "worker_init_fn", "config_check",
     "download_file_and_uncompress", "loss_computation", "calculate_area",
     "mean_iou", "dice", "accuracy", "kappa", "auc_roc", "get_image_list",
-    "save_array", "seed_all",
+    "save_array", "seed_all", "enable_compile_cache",
 ]

@@ -87,6 +87,9 @@ def main(args):
     from medicalseg_tpu.utils import (config_check, get_sys_env, logger,
                                       seed_all)
 
+    from medicalseg_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     if args.seed is not None:
         seed_all(args.seed)
         logger.info("Set seed to {}".format(args.seed))

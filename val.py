@@ -48,6 +48,9 @@ def main(args):
     from medicalseg_tpu.utils import (config_check, get_sys_env,
                                       load_entire_model, logger)
 
+    from medicalseg_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     env_info = get_sys_env()
     info = ["{}: {}".format(k, v) for k, v in env_info.items()]
     info = "\n".join(["", format("Environment Information", "-^48s")] +
