@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..cvlibs import manager
-from .layers import Activation, ChannelDropout, ConvBNAct, NConvs
+from .layers import (Activation, BatchNorm3D, ChannelDropout, ConvBNAct,
+                     NConvs)
 
 
 class InputTransition(nn.Module):
@@ -38,9 +39,7 @@ class InputTransition(nn.Module):
         out = nn.Conv(self.num_features, (5, 5, 5), padding="SAME",
                       dtype=self.dtype,
                       kernel_init=nn.initializers.he_normal())(x)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=jnp.float32)(out)
-        out = out.astype(self.dtype)
+        out = BatchNorm3D(dtype=self.dtype)(out, train)
         repeat = self.num_features // self.in_channels
         x_tile = jnp.tile(x, (1, 1, 1, 1, repeat)).astype(self.dtype)
         return Activation(elu=self.elu, dtype=self.dtype)(out + x_tile)
@@ -64,9 +63,7 @@ class DownTransition(nn.Module):
                        strides=tuple(self.down_stride), padding="VALID",
                        dtype=self.dtype,
                        kernel_init=nn.initializers.he_normal())(x)
-        down = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            epsilon=1e-5, dtype=jnp.float32)(down)
-        down = down.astype(self.dtype)
+        down = BatchNorm3D(dtype=self.dtype)(down, train)
         down = Activation(elu=self.elu, dtype=self.dtype)(down)
         out = down
         if self.dropout:
@@ -105,9 +102,7 @@ class UpTransition(nn.Module):
                                strides=tuple(self.up_stride),
                                padding="VALID", dtype=self.dtype,
                                kernel_init=nn.initializers.he_normal())(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=jnp.float32)(out)
-        out = out.astype(self.dtype)
+        out = BatchNorm3D(dtype=self.dtype)(out, train)
         out = Activation(elu=self.elu, dtype=self.dtype)(out)
         xcat = jnp.concatenate([out, skip.astype(self.dtype)], axis=-1)
         out = NConvs(self.out_channels, self.n_convs, elu=self.elu,
