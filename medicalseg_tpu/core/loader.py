@@ -80,11 +80,16 @@ class TrainLoader:
 
     # ------------------------------------------------------------------
     def _next_indices(self):
-        n = len(self.dataset)
+        # per-host file-list shard (replaces DistributedBatchSampler's
+        # per-rank sharding, reference core/train.py:87-88); device-level
+        # batch sharding happens when the batch lands on the mesh
+        from ..parallel.mesh import process_shard
+        lo, hi = process_shard(len(self.dataset))
+        n = max(1, hi - lo)
         out = []
         while len(out) < self.batch_size:
             if self._indices is None or self._pos >= len(self._indices):
-                self._indices = np.arange(n)
+                self._indices = lo + np.arange(n)
                 if self.shuffle:
                     self.rng.shuffle(self._indices)
                 self._pos = 0

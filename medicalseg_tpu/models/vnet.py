@@ -171,3 +171,24 @@ class VNet(nn.Module):
         out = OutputTransition(self.num_classes, self.elu,
                                self.dtype)(out, train)
         return [out.astype(jnp.float32)]
+
+    def test(self):
+        """Self-test: seeded 32^3 forward + shape assert (reference
+        vnet.py:269-282)."""
+        import numpy as np
+
+        import jax
+        np.random.seed(1)
+        a = np.random.rand(1, 32, 32, 32, self.in_channels).astype(
+            np.float32)
+        variables = jax.jit(
+            lambda k, x: self.init(k, x, train=False))(
+            jax.random.PRNGKey(0), a)
+        out = jax.jit(lambda v, x: self.apply(v, x, train=False))(
+            variables, a)[0]
+        print("out", float(out.mean()), float(a.mean()))
+        assert out.shape == (1, 32, 32, 32, self.num_classes)
+        n_params = sum(p.size for p in jax.tree_util.tree_leaves(
+            variables["params"]))
+        print("params: {:.2f}M".format(n_params / 1e6))
+        print("Vnet test is complete")

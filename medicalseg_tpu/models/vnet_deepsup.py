@@ -79,3 +79,20 @@ class VNetDeepSup(nn.Module):
         out = OutputTransition(self.num_classes, self.elu,
                                self.dtype)(out, train)
         return [out.astype(jnp.float32), d1, d2, d3]
+
+    def test(self):
+        """Self-test (reference vnet_deepsup.py:283-296)."""
+        import numpy as np
+
+        import jax
+        np.random.seed(1)
+        a = np.random.rand(1, 32, 32, 32, self.in_channels).astype(
+            np.float32)
+        variables = jax.jit(
+            lambda k, x: self.init(k, x, train=False))(
+            jax.random.PRNGKey(0), a)
+        outs = jax.jit(lambda v, x: self.apply(v, x, train=False))(
+            variables, a)
+        assert len(outs) == 4
+        assert outs[0].shape == (1, 32, 32, 32, self.num_classes)
+        print("VnetDeepSup test is complete")
