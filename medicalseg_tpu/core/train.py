@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from ..parallel import mesh as mesh_lib
 from ..transforms import DeviceAugmentor, device_supports
 from ..utils import (TimeAverager, calculate_eta, logger, resume,
-                     save_checkpoint, train_profiler)
+                     save_checkpoint, save_checkpoint_async,
+                     train_profiler)
 from .loader import TrainLoader
 from .state import TrainState, make_train_step
 from .val import evaluate
@@ -66,7 +67,8 @@ def train(model,
           seed=0,
           mesh=None,
           space=1,
-          data_loader_mode="auto"):
+          data_loader_mode="auto",
+          async_checkpoint=True):
     """Launch training. Argument surface mirrors the reference
     (core/train.py:30-45); ``optimizer`` is an optax transformation and
     ``lr_scheduler`` the matching schedule (for logging)."""
@@ -152,9 +154,7 @@ def train(model,
             images, labels = next(loader)
             reader_cost_averager.record(time.time() - batch_start)
 
-            images, labels = mesh_lib.shard_batch(
-                mesh, images, labels,
-                spatial_axis=2 if augment_fn is None else 2)
+            images, labels = mesh_lib.shard_batch(mesh, images, labels)
             state, metrics = jit_step(state, images, labels, base_key)
             it += 1
             pending.append(metrics)
@@ -216,13 +216,23 @@ def train(model,
             if (it % save_interval == 0 or it == iters) and is_primary:
                 current_save_dir = os.path.join(save_dir,
                                                 "iter_{}".format(it))
-                save_checkpoint(current_save_dir,
-                                jax.device_get(state.variables),
-                                jax.device_get(state.opt_state), it)
+                _save = (save_checkpoint_async if async_checkpoint
+                         else save_checkpoint)
+                ckpt_future = _save(current_save_dir,
+                                    jax.device_get(state.variables),
+                                    jax.device_get(state.opt_state), it)
                 save_models.append(current_save_dir)
                 if len(save_models) > keep_checkpoint_max > 0:
                     model_to_remove = save_models.popleft()
-                    shutil.rmtree(model_to_remove)
+                    if async_checkpoint:
+                        # same single-worker executor => runs after any
+                        # pending write to that directory
+                        from ..utils.checkpoint import _get_executor
+                        _get_executor().submit(
+                            shutil.rmtree, model_to_remove,
+                            ignore_errors=True)
+                    else:
+                        shutil.rmtree(model_to_remove)
 
                 if val_dataset is not None and result_dict:
                     if result_dict["mdice"] > best_mean_dice:
@@ -230,9 +240,10 @@ def train(model,
                         best_model_iter = it
                         best_model_dir = os.path.join(save_dir,
                                                       "best_model")
-                        save_checkpoint(
-                            best_model_dir,
-                            jax.device_get(state.variables))
+                        _save = (save_checkpoint_async if async_checkpoint
+                                 else save_checkpoint)
+                        _save(best_model_dir,
+                              jax.device_get(state.variables))
                     logger.info(
                         "[EVAL] The model with the best validation mDice "
                         "({:.4f}) was saved at iter {}.".format(
@@ -248,6 +259,9 @@ def train(model,
             batch_start = time.time()
 
     loader.stop()
+    if async_checkpoint and is_primary:
+        from ..utils.checkpoint import wait_pending_checkpoints
+        wait_pending_checkpoints()
     if is_primary:
         _flops_report(state, sample)
     if log_writer is not None:

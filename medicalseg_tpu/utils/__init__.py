@@ -2,7 +2,7 @@
 from . import logger, metric, train_profiler, visualize
 from .checkpoint import (load_checkpoint, load_entire_model,
                          load_pretrained_model, resume, save_checkpoint,
-                         worker_init_fn)
+                         save_checkpoint_async, worker_init_fn)
 from .compile_cache import enable_compile_cache
 from .config_check import config_check
 from .download import download_file_and_uncompress
@@ -19,7 +19,7 @@ __all__ = [
     "logger", "metric", "train_profiler", "visualize",
     "TimeAverager", "calculate_eta", "Progbar", "get_sys_env",
     "DATA_HOME", "TMP_HOME", "PRETRAINED_MODEL_HOME", "SEG_HOME",
-    "save_checkpoint", "load_checkpoint", "load_pretrained_model",
+    "save_checkpoint", "save_checkpoint_async", "load_checkpoint", "load_pretrained_model",
     "load_entire_model", "resume", "worker_init_fn", "config_check",
     "download_file_and_uncompress", "loss_computation", "calculate_area",
     "mean_iou", "dice", "accuracy", "kappa", "auc_roc", "get_image_list",

@@ -23,6 +23,34 @@ from .env import PRETRAINED_MODEL_HOME
 MODEL_FILE = "model.msgpack"
 OPT_FILE = "opt.msgpack"
 
+_async_executor = None
+
+
+def _get_executor():
+    global _async_executor
+    if _async_executor is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _async_executor = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt")
+    return _async_executor
+
+
+def wait_pending_checkpoints():
+    """Block until all queued async checkpoint writes/evictions finish."""
+    if _async_executor is not None:
+        _get_executor().submit(lambda: None).result()
+
+
+def save_checkpoint_async(save_dir, variables, opt_state=None, step=None):
+    """Non-blocking checkpoint write (orbax-style async, SURVEY §5):
+    the pytree is snapshotted to host synchronously (cheap device->host
+    copy), serialization + disk IO happen on a background thread.
+    Returns a Future."""
+    host_vars = _to_host(variables)
+    host_opt = None if opt_state is None else _to_host(opt_state)
+    return _get_executor().submit(
+        save_checkpoint, save_dir, host_vars, host_opt, step)
+
 
 def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
