@@ -87,7 +87,8 @@ def bench_train(batch=1, iters=10, remat=True):
     from medicalseg_tpu.transforms import (DeviceAugmentor, RandomFlip3D,
                                            RandomResizedCrop3D)
 
-    model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16)
+    model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
+                 remat=remat)
     losses = {"types": [MixedLoss([CrossEntropyLoss(), DiceLoss()],
                                   [1.0, 1.0])], "coef": [1]}
     schedule = optax.polynomial_schedule(1e-3, 0.0, 0.9, 15000)
@@ -98,8 +99,7 @@ def bench_train(batch=1, iters=10, remat=True):
         RandomResizedCrop3D(size=128, scale=(0.8, 1.2)),
         RandomFlip3D()])
     step = jax.jit(
-        make_train_step(losses, augment_fn=aug._augment_batch,
-                        checkpoint_policy="full" if remat else None),
+        make_train_step(losses, augment_fn=aug._augment_batch),
         donate_argnums=(0,))
 
     sample = jnp.zeros((batch, 128, 128, 128, 1), jnp.float32)
@@ -144,7 +144,8 @@ def main():
         raw_shape=(64, 128, 128) if small else (200, 512, 512),
         iters=1 if small else 3)
     try:
-        train_pps = bench_train(batch=1, iters=2 if small else 10)
+        train_pps = bench_train(batch=1 if small else 2,
+                                iters=2 if small else 10)
     except Exception as e:
         print("# train bench failed: {}".format(e))
         train_pps = 0.0

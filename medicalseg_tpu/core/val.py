@@ -89,7 +89,7 @@ def evaluate(state,
 
     # cache the jitted per-volume program on the dataset so repeated
     # in-training evals don't re-trace (shapes are constant per dataset)
-    cache_key = "_jitted_eval_sw{}".format(sw_num)
+    cache_key = "_jitted_eval_sw{}_{}".format(sw_num, id(state.apply_fn))
     _eval_volume = getattr(eval_dataset, cache_key, None)
     if _eval_volume is None:
         _eval_volume = jax.jit(_eval_volume_impl)

@@ -145,31 +145,45 @@ class VNet(nn.Module):
     stride_size: Sequence[Tuple[int, int, int]] = (
         (2, 2, 2), (2, 2, 2), (2, 2, 2), (2, 2, 2))
     dtype: Any = jnp.float32
+    remat: bool = False  # per-block rematerialization (HBM <-> FLOPs)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = x.astype(self.dtype)
         ks, ss = self.kernel_size, self.stride_size
-        out16 = InputTransition(self.in_channels, self.elu,
-                                self.dtype)(x, train)
-        out32 = DownTransition(16, 1, self.elu, False, ss[0], ks[0],
-                               self.dtype)(out16, train)
-        out64 = DownTransition(32, 2, self.elu, False, ss[1], ks[1],
-                               self.dtype)(out32, train)
-        out128 = DownTransition(64, 3, self.elu, True, ss[2], ks[2],
-                                self.dtype)(out64, train)
-        out256 = DownTransition(128, 2, self.elu, True, ss[3], ks[3],
-                                self.dtype)(out128, train)
-        out = UpTransition(256, 256, 2, self.elu, True, True, ss[3], ks[3],
-                           self.dtype)(out256, out128, train)
-        out = UpTransition(256, 128, 2, self.elu, True, True, ss[2], ks[2],
-                           self.dtype)(out, out64, train)
-        out = UpTransition(128, 64, 1, self.elu, False, False, ss[1], ks[1],
-                           self.dtype)(out, out32, train)
-        out = UpTransition(64, 32, 1, self.elu, False, False, ss[0], ks[0],
-                           self.dtype)(out, out16, train)
-        out = OutputTransition(self.num_classes, self.elu,
-                               self.dtype)(out, train)
+        if self.remat:
+            # checkpoint each transition: the backward recomputes one
+            # block at a time, bounding the live activation set by the
+            # largest single stage instead of the whole network.
+            Input = nn.remat(InputTransition, static_argnums=(2,))
+            Down = nn.remat(DownTransition, static_argnums=(2,))
+            Up = nn.remat(UpTransition, static_argnums=(3,))
+            Output = nn.remat(OutputTransition, static_argnums=(2,))
+        else:
+            Input, Down, Up, Output = (InputTransition, DownTransition,
+                                       UpTransition, OutputTransition)
+        # explicit names keep the parameter tree identical whether or not
+        # the lifted remat wrapper is applied (checkpoint compatibility)
+        out16 = Input(self.in_channels, self.elu, self.dtype,
+                      name="InputTransition_0")(x, train)
+        out32 = Down(16, 1, self.elu, False, ss[0], ks[0], self.dtype,
+                     name="DownTransition_0")(out16, train)
+        out64 = Down(32, 2, self.elu, False, ss[1], ks[1], self.dtype,
+                     name="DownTransition_1")(out32, train)
+        out128 = Down(64, 3, self.elu, True, ss[2], ks[2], self.dtype,
+                      name="DownTransition_2")(out64, train)
+        out256 = Down(128, 2, self.elu, True, ss[3], ks[3], self.dtype,
+                      name="DownTransition_3")(out128, train)
+        out = Up(256, 256, 2, self.elu, True, True, ss[3], ks[3],
+                 self.dtype, name="UpTransition_0")(out256, out128, train)
+        out = Up(256, 128, 2, self.elu, True, True, ss[2], ks[2],
+                 self.dtype, name="UpTransition_1")(out, out64, train)
+        out = Up(128, 64, 1, self.elu, False, False, ss[1], ks[1],
+                 self.dtype, name="UpTransition_2")(out, out32, train)
+        out = Up(64, 32, 1, self.elu, False, False, ss[0], ks[0],
+                 self.dtype, name="UpTransition_3")(out, out16, train)
+        out = Output(self.num_classes, self.elu, self.dtype,
+                     name="OutputTransition_0")(out, train)
         return [out.astype(jnp.float32)]
 
     def test(self):
