@@ -93,20 +93,67 @@ class BatchNorm3D(nn.Module):
                 (bias - mean * inv).astype(self.dtype))
 
 
+class LanePaddedConv(nn.Module):
+    """Conv3D whose *compute* pads C_out up to an MXU-friendly width.
+
+    Narrow-output convs (e.g. the segmentation head's 5^3 conv to
+    num_classes=3) fall off the MXU on TPU and run as ~50 ms VPU loops
+    (profiled: >50% of the whole VNet forward). Zero-padding the kernel's
+    output channels to ``pad_to`` inside the graph makes XLA lower it as
+    a dense MXU conv, and the extra channels are sliced away — the
+    parameters, their gradients (sliced outputs contribute nothing), and
+    the numerics are identical to a plain nn.Conv. Param names match
+    nn.Conv (kernel/bias) for checkpoint compatibility.
+    """
+    features: int
+    kernel_size: Tuple[int, int, int] = (5, 5, 5)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    padding: Any = "SAME"
+    pad_to: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kshape = tuple(self.kernel_size) + (in_features, self.features)
+        kernel = self.param("kernel", nn.initializers.he_normal(), kshape,
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        pad = max(self.pad_to, self.features) - self.features
+        k = jnp.pad(kernel.astype(self.dtype),
+                    [(0, 0)] * 4 + [(0, pad)])
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k, tuple(self.strides), self.padding,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        out = out[..., :self.features]
+        return out + bias.astype(self.dtype)
+
+
 class ConvBNAct(nn.Module):
-    """Conv3D + BatchNorm + activation (reference LUConv, vnet.py:32-43)."""
+    """Conv3D + BatchNorm + activation (reference LUConv, vnet.py:32-43).
+
+    ``lane_pad`` switches to LanePaddedConv for narrow-output heads.
+    """
     features: int
     kernel_size: Tuple[int, int, int] = (5, 5, 5)
     strides: Tuple[int, int, int] = (1, 1, 1)
     padding: Any = "SAME"
     elu: bool = False
     dtype: Any = jnp.float32
+    lane_pad: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(self.features, self.kernel_size, strides=self.strides,
-                    padding=self.padding, dtype=self.dtype,
-                    kernel_init=nn.initializers.he_normal())(x)
+        if self.lane_pad and self.features < 16:
+            x = LanePaddedConv(self.features, self.kernel_size,
+                               strides=self.strides, padding=self.padding,
+                               dtype=self.dtype, name="Conv_0")(x)
+        else:
+            x = nn.Conv(self.features, self.kernel_size,
+                        strides=self.strides,
+                        padding=self.padding, dtype=self.dtype,
+                        kernel_init=nn.initializers.he_normal())(x)
         x = BatchNorm3D(dtype=self.dtype)(x, train)
         return Activation(elu=self.elu, dtype=self.dtype)(x)
 

@@ -120,8 +120,14 @@ class OutputTransition(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        # NOTE (profiled on v5e): this 5^3 conv down to num_classes is the
+        # single most expensive op of the network (~47 ms, >50% of fwd) —
+        # C_out=3 keeps it off the MXU. LanePaddedConv (lane_pad=True)
+        # moves it onto the MXU but the 128-lane padding costs as much as
+        # the VPU loop; a transposed-orientation Pallas kernel (voxels on
+        # lanes, classes on sublanes) is the planned fix.
         out = ConvBNAct(self.num_classes, (5, 5, 5), elu=self.elu,
-                        dtype=self.dtype)(x, train)
+                        dtype=self.dtype, lane_pad=False)(x, train)
         out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
                       kernel_init=nn.initializers.he_normal())(out)
         return out
