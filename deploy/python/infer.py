@@ -206,6 +206,28 @@ class Predictor:
             self._variables = serialization.msgpack_restore(blob)
 
     # ------------------------------------------------------------------
+    def _predict_sliding(self, vol):
+        """Whole-volume sliding-window inference with Gaussian overlap
+        blending (--use_swl): the volume keeps its native resolution and
+        the exported ROI slides over it (core/sliding_window.py)."""
+        import jax
+        import jax.numpy as jnp
+        from medicalseg_tpu.core.sliding_window import (
+            sliding_window_inference)
+
+        if self._apply is None:
+            self._build_from_config()
+        roi = tuple(self.cfg.input_shape[1:4])
+        num_classes = int(self.cfg.model_config.get("num_classes", 2))
+        logits = sliding_window_inference(
+            self._model.apply, self._variables, jnp.asarray(vol)[..., None],
+            roi, num_classes=num_classes)
+        if self.cfg.output_op == "softmax":
+            return np.asarray(jax.nn.softmax(logits, axis=-1))
+        if self.cfg.output_op == "argmax":
+            return np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int32)
+        return np.asarray(logits)
+
     def _preprocess(self, path):
         """npy passes through transforms; raw medical formats get the
         HUnorm + resample treatment (reference infer.py:378-416)."""
@@ -214,6 +236,10 @@ class Predictor:
 
         if path.endswith(".npy"):
             vol = np.load(path)
+        elif self.args.use_swl:
+            # sliding-window mode keeps the native resolution
+            data, meta = medio.read_image(path)
+            vol = np.asarray(ops.hu_norm(data.astype(np.float32)))
         else:
             data, meta = medio.read_image(path)
             data = np.asarray(ops.hu_norm(data.astype(np.float32)))
@@ -236,6 +262,25 @@ class Predictor:
         os.makedirs(self.args.save_dir, exist_ok=True)
         results = []
         self._warmed = getattr(self, "_warmed", False)
+
+        if self.args.use_swl:
+            # per-volume sliding-window path (native resolution; batch
+            # dimension is the window batch inside the jitted scan)
+            for path in imgs:
+                t0 = time.time()
+                vol = self._preprocess(path)[0, ..., 0]
+                self.timer.record("preprocess", time.time() - t0)
+                t0 = time.time()
+                out = self._predict_sliding(vol)
+                self.timer.record("inference", time.time() - t0)
+                name = os.path.splitext(os.path.basename(path))[0]
+                save_path = os.path.join(self.args.save_dir,
+                                         name + ".npy")
+                np.save(save_path, out)
+                results.append(save_path)
+            if self.args.benchmark:
+                self.timer.report()
+            return results
         for i in range(0, len(imgs), self.args.batch_size):
             chunk = imgs[i:i + self.args.batch_size]
             t0 = time.time()

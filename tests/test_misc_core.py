@@ -107,3 +107,46 @@ def test_predictor_raw_nifti_input(tmp_path):
     pred = np.load(outs[0])
     assert pred.shape == (8, 8, 8)
     assert pred.dtype == np.int32
+
+
+def test_predictor_sliding_window_mode(tmp_path):
+    """--use_swl: native-resolution serving via sliding windows."""
+    import yaml
+    from medicalseg_tpu.io import nifti
+    from medicalseg_tpu.models import VNet
+    from medicalseg_tpu.utils import save_checkpoint
+
+    sys.path.insert(0, osp.join(osp.dirname(__file__), "..", "deploy",
+                                "python"))
+    import importlib
+    infer_cli = importlib.import_module("infer")
+
+    cfg_dir = tmp_path / "export"
+    cfg_dir.mkdir()
+    model_cfg = {"type": "VNet", "in_channels": 1, "num_classes": 2}
+    with open(cfg_dir / "deploy.yaml", "w") as f:
+        yaml.dump({"Deploy": {
+            "model": "missing.stablehlo", "params": "model.msgpack",
+            "transforms": [], "input_shape_ndhwc": [1, 8, 8, 8, 1],
+            "output_op": "argmax", "model_config": model_cfg}}, f)
+    model = VNet(in_channels=1, num_classes=2)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8, 1)))
+    save_checkpoint(str(cfg_dir), jax.device_get(variables))
+
+    raw = np.random.RandomState(1).uniform(
+        -1200, 600, (12, 14, 10)).astype(np.float32)
+    nifti.write(str(tmp_path / "scan.nii.gz"), raw)
+
+    args = argparse.Namespace(
+        config=str(cfg_dir / "deploy.yaml"),
+        image_path=str(tmp_path / "scan.nii.gz"), batch_size=1,
+        save_dir=str(tmp_path / "preds"), device="cpu",
+        precision="fp32", enable_auto_tune=False, benchmark=False,
+        with_argmax=False, use_swl=True)
+    predictor = infer_cli.Predictor(args)
+    outs = predictor.run([str(tmp_path / "scan.nii.gz")])
+    pred = np.load(outs[0])
+    # native resolution preserved (not resized to the export ROI)
+    assert pred.shape == (12, 14, 10)
+    assert set(np.unique(pred)) <= {0, 1}
