@@ -141,11 +141,34 @@ class ConvBNAct(nn.Module):
     padding: Any = "SAME"
     elu: bool = False
     dtype: Any = jnp.float32
-    lane_pad: bool = False
+    lane_pad: Any = False  # False | True (MXU pad) | 'narrow'
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        if self.lane_pad and self.features < 16:
+        if self.lane_pad == "narrow" and self.features < 16:
+            from ..ops.narrow_conv import narrow_conv3d_same
+
+            # named child scope with nn.Conv-compatible params
+            class _NarrowConv(nn.Module):
+                features: int
+                kernel_size: Tuple[int, int, int]
+                dtype: Any
+
+                @nn.compact
+                def __call__(inner, h):
+                    kern = inner.param(
+                        "kernel", nn.initializers.he_normal(),
+                        tuple(inner.kernel_size) + (h.shape[-1],
+                                                    inner.features),
+                        jnp.float32)
+                    b = inner.param("bias", nn.initializers.zeros,
+                                    (inner.features,), jnp.float32)
+                    return narrow_conv3d_same(
+                        h, kern, b, compute_dtype=inner.dtype)
+
+            x = _NarrowConv(self.features, self.kernel_size,
+                            self.dtype, name="Conv_0")(x)
+        elif self.lane_pad and self.features < 16:
             x = LanePaddedConv(self.features, self.kernel_size,
                                strides=self.strides, padding=self.padding,
                                dtype=self.dtype, name="Conv_0")(x)

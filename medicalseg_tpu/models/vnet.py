@@ -113,21 +113,28 @@ class UpTransition(nn.Module):
 
 class OutputTransition(nn.Module):
     """5^3 conv -> BN -> act -> 1^3 conv to num_classes
-    (reference vnet.py:159-175)."""
+    (reference vnet.py:159-175).
+
+    head_conv: 'default' | 'narrow' | 'lane_pad' — how the expensive
+    narrow-output 5^3 conv is computed (see layers.ConvBNAct /
+    ops.narrow_conv).
+    """
     num_classes: int
     elu: bool = False
     dtype: Any = jnp.float32
+    head_conv: str = "default"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         # NOTE (profiled on v5e): this 5^3 conv down to num_classes is the
         # single most expensive op of the network (~47 ms, >50% of fwd) —
-        # C_out=3 keeps it off the MXU. LanePaddedConv (lane_pad=True)
-        # moves it onto the MXU but the 128-lane padding costs as much as
-        # the VPU loop; a transposed-orientation Pallas kernel (voxels on
-        # lanes, classes on sublanes) is the planned fix.
+        # C_out=3 keeps it off the MXU. head_conv='narrow' reassociates
+        # it as (kh,kw,c)-row matmuls + shifted accumulations
+        # (ops/narrow_conv.py); 'lane_pad' zero-pads onto the MXU.
+        lane_pad = {"default": False, "lane_pad": True,
+                    "narrow": "narrow"}[self.head_conv]
         out = ConvBNAct(self.num_classes, (5, 5, 5), elu=self.elu,
-                        dtype=self.dtype, lane_pad=False)(x, train)
+                        dtype=self.dtype, lane_pad=lane_pad)(x, train)
         out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
                       kernel_init=nn.initializers.he_normal())(out)
         return out
@@ -152,6 +159,8 @@ class VNet(nn.Module):
         (2, 2, 2), (2, 2, 2), (2, 2, 2), (2, 2, 2))
     dtype: Any = jnp.float32
     remat: bool = False  # per-block rematerialization (HBM <-> FLOPs)
+    head_conv: str = "default"  # 'default'|'narrow'|'lane_pad' (see
+    # OutputTransition)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -189,6 +198,7 @@ class VNet(nn.Module):
         out = Up(64, 32, 1, self.elu, False, False, ss[0], ks[0],
                  self.dtype, name="UpTransition_3")(out, out16, train)
         out = Output(self.num_classes, self.elu, self.dtype,
+                     self.head_conv,
                      name="OutputTransition_0")(out, train)
         return [out.astype(jnp.float32)]
 

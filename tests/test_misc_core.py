@@ -150,3 +150,36 @@ def test_predictor_sliding_window_mode(tmp_path):
     # native resolution preserved (not resized to the export ROI)
     assert pred.shape == (12, 14, 10)
     assert set(np.unique(pred)) <= {0, 1}
+
+
+def test_narrow_conv_matches_lax():
+    """ops.narrow_conv reassociation is numerically equivalent."""
+    from jax import lax
+    from medicalseg_tpu.ops.narrow_conv import narrow_conv3d_same
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 6, 7, 8, 4).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 4, 3).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(3).astype(np.float32))
+    ours = narrow_conv3d_same(x, k, b, compute_dtype=jnp.float32)
+    ref = lax.conv_general_dilated(
+        x, k, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_vnet_head_conv_variants_agree():
+    from medicalseg_tpu.models import VNet
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(1, 8, 8, 8, 1).astype(np.float32))
+    m0 = VNet(in_channels=1, num_classes=2)
+    v = jax.jit(lambda k, a: m0.init(k, a, train=False))(
+        jax.random.PRNGKey(0), x)
+    outs = {}
+    for variant in ("default", "narrow", "lane_pad"):
+        m = VNet(in_channels=1, num_classes=2, head_conv=variant)
+        outs[variant] = np.asarray(jax.jit(
+            lambda v_, a: m.apply(v_, a, train=False))(v, x)[0])
+    np.testing.assert_allclose(outs["narrow"], outs["default"], atol=1e-4)
+    np.testing.assert_allclose(outs["lane_pad"], outs["default"],
+                               atol=1e-4)
