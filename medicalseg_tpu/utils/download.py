@@ -1,157 +1,145 @@
 # Copyright 2026. Apache License 2.0.
-"""Download + uncompress helpers (reference: medicalseg/utils/download.py:40-163).
+"""Dataset / pretrained-weight fetching and unpacking.
 
-Host-side only; used for datasets and pretrained weights. Supports zip and
-tar archives, skip-if-present resume semantics, and a progress bar.
+Capability parity with the reference's downloader (medicalseg/utils/
+download.py:40-163): fetch an archive URL, extract it, skip work already
+done, optionally force a re-fetch, and return the extracted directory.
+Implemented on stdlib :mod:`urllib` (streamed with a progress readout) and
+whole-archive extraction; no third-party HTTP client.
+
+Note: this build environment has no network egress — these helpers exist
+for deployments that do; datasets can always be provided locally via
+``data_root``/``dataset_root``.
 """
 
-import functools
 import os
 import shutil
 import sys
 import tarfile
 import time
+import urllib.request
 import zipfile
 
-lasttime = time.time()
-FLUSH_INTERVAL = 0.1
+_CHUNK = 1 << 16
 
 
-def progress(str, end=False):
-    global lasttime
-    if end:
-        str += "\n"
-        lasttime = 0
-    if time.time() - lasttime >= FLUSH_INTERVAL:
-        sys.stdout.write("\r%s" % str)
-        lasttime = time.time()
+class _Progress:
+    """Throttled single-line percentage readout."""
+
+    def __init__(self, label, enabled=True, period=0.1):
+        self._label = label
+        self._enabled = enabled
+        self._period = period
+        self._stamp = 0.0
+
+    def __call__(self, done, total, final=False):
+        if not self._enabled:
+            return
+        now = time.monotonic()
+        if not final and now - self._stamp < self._period:
+            return
+        self._stamp = now
+        if total:
+            pct = 100.0 * done / total
+            sys.stdout.write("\r%s: %5.1f%% (%d/%d bytes)" %
+                             (self._label, pct, done, total))
+        else:
+            sys.stdout.write("\r%s: %d bytes" % (self._label, done))
+        if final:
+            sys.stdout.write("\n")
         sys.stdout.flush()
 
 
-def _download_file(url, savepath, print_progress=True):
-    import requests
-    if print_progress:
-        print("Connecting to {}".format(url))
-    r = requests.get(url, stream=True, timeout=15)
-    total_length = r.headers.get("content-length")
-
-    if total_length is None:
-        with open(savepath, "wb") as f:
-            shutil.copyfileobj(r.raw, f)
-    else:
-        with open(savepath, "wb") as f:
-            dl = 0
-            total_length = int(total_length)
-            starttime = time.time()
-            if print_progress:
-                print("Downloading %s" % os.path.basename(savepath))
-            for data in r.iter_content(chunk_size=4096):
-                dl += len(data)
-                f.write(data)
-                if print_progress:
-                    done = int(50 * dl / total_length)
-                    progress("[%-50s] %.2f%%" %
-                             ("=" * done, float(100 * dl) / total_length))
-        if print_progress:
-            progress("[%-50s] %.2f%%" % ("=" * 50, 100), end=True)
+def _fetch(url, dest, print_progress=True):
+    """Stream ``url`` into ``dest`` (written via a .part temp file)."""
+    tmp = dest + ".part"
+    report = _Progress("Downloading %s" % os.path.basename(dest),
+                       enabled=print_progress)
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        total = int(resp.headers.get("Content-Length") or 0)
+        done = 0
+        with open(tmp, "wb") as out:
+            while True:
+                block = resp.read(_CHUNK)
+                if not block:
+                    break
+                out.write(block)
+                done += len(block)
+                report(done, total)
+        report(done, total, final=True)
+    os.replace(tmp, dest)
 
 
-def _uncompress_file_zip(filepath, extrapath):
-    with zipfile.ZipFile(filepath, "r") as files:
-        filelist = files.namelist()
-        rootpath = filelist[0]
-        total_num = len(filelist)
-        for index, file in enumerate(filelist):
-            files.extract(file, extrapath)
-            yield total_num, index, rootpath
+def _extract(archive, into, print_progress=True):
+    """Extract zip/tar ``archive`` under ``into``; return the root entry name.
 
-
-def _uncompress_file_tar(filepath, extrapath, mode="r:gz"):
-    with tarfile.open(filepath, mode) as files:
-        filelist = files.getnames()
-        total_num = len(filelist)
-        rootpath = filelist[0]
-        for index, file in enumerate(filelist):
-            files.extract(file, extrapath)
-            yield total_num, index, rootpath
-
-
-def _uncompress_file(filepath, extrapath, delete_file, print_progress):
-    if print_progress:
-        print("Uncompress %s" % os.path.basename(filepath))
-
-    if filepath.endswith("zip"):
-        handler = _uncompress_file_zip
-    elif filepath.endswith("tgz") or filepath.endswith("tar.gz"):
-        handler = functools.partial(_uncompress_file_tar, mode="r:gz")
-    elif filepath.endswith("tar"):
-        handler = functools.partial(_uncompress_file_tar, mode="r:")
-    else:
-        # single file, no archive
-        return os.path.basename(filepath)
-
-    for total_num, index, rootpath in handler(filepath, extrapath):
-        if print_progress:
-            done = int(50 * float(index) / total_num)
-            progress("[%-50s] %.2f%%" %
-                     ("=" * done, float(100 * index) / total_num))
-    if print_progress:
-        progress("[%-50s] %.2f%%" % ("=" * 50, 100), end=True)
-
-    if delete_file:
-        os.remove(filepath)
-
-    return rootpath
-
-
-def download_file_and_uncompress(url,
-                                 savepath=None,
-                                 extrapath=None,
-                                 extraname=None,
-                                 print_progress=True,
-                                 cover=False,
-                                 delete_file=False):
-    """Download ``url`` into ``savepath`` and extract into ``extrapath``.
-
-    Skips both steps when the target already exists (resume semantics,
-    reference download.py:98-141). Returns the extracted path.
+    Returns ``None`` when the file is not a recognized archive.
     """
-    if savepath is None:
-        savepath = "."
-    if extrapath is None:
-        extrapath = "."
-    savename = url.split("/")[-1]
-    if not os.path.exists(savepath):
-        os.makedirs(savepath)
-    savepath = os.path.join(savepath, savename)
-    savename = ".".join(savename.split(".")[:-1]) or savename
-    savename = os.path.join(extrapath, savename)
-    extraname = savename if extraname is None else os.path.join(
-        extrapath, extraname)
+    if zipfile.is_zipfile(archive):
+        opener, lister = zipfile.ZipFile, lambda f: f.namelist()
+    elif tarfile.is_tarfile(archive):
+        opener, lister = tarfile.open, lambda f: f.getnames()
+    else:
+        return None
+    if print_progress:
+        print("Extracting %s" % os.path.basename(archive))
+    with opener(archive) as f:
+        names = lister(f)
+        if not names:
+            raise ValueError("empty archive: %s" % archive)
+        f.extractall(into)
+    # Top-level entry the archive unpacks to (reference keys off this too).
+    return names[0].split("/")[0]
+
+
+def download_file_and_uncompress(url, savepath=None, extrapath=None,
+                                 extraname=None, print_progress=True,
+                                 cover=False, delete_file=False):
+    """Fetch ``url`` into ``savepath`` and unpack it under ``extrapath``.
+
+    Already-present results are reused (resume semantics, reference
+    download.py:98-141); ``cover=True`` discards them first. Non-archive
+    payloads are moved into a directory named ``extraname``. Returns the
+    path of the extracted (or moved-to) directory.
+    """
+    savepath = savepath or "."
+    extrapath = extrapath or "."
+    os.makedirs(savepath, exist_ok=True)
+    os.makedirs(extrapath, exist_ok=True)
+
+    fname = url.rsplit("/", 1)[-1]
+    archive_path = os.path.join(savepath, fname)
+    stem = fname.rsplit(".", 1)[0] or fname
+    default_target = os.path.join(extrapath, stem)
+    target = (os.path.join(extrapath, extraname)
+              if extraname is not None else default_target)
 
     if cover:
-        if os.path.exists(savepath):
-            shutil.rmtree(savepath)
-        if os.path.exists(savename):
-            shutil.rmtree(savename)
-        if os.path.exists(extraname):
-            shutil.rmtree(extraname)
+        for p in {archive_path, default_target, target}:
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            elif os.path.exists(p):
+                os.remove(p)
 
-    if not os.path.exists(extraname):
-        if not os.path.exists(savename):
-            if not os.path.exists(savepath):
-                _download_file(url, savepath, print_progress)
+    if os.path.exists(target):
+        return target
 
-            if (not tarfile.is_tarfile(savepath) and
-                    not zipfile.is_zipfile(savepath)):
-                if not os.path.exists(extraname):
-                    os.makedirs(extraname)
-                shutil.move(savepath, extraname)
-                return extraname
+    if not os.path.exists(archive_path):
+        _fetch(url, archive_path, print_progress)
 
-            savename = _uncompress_file(savepath, extrapath, delete_file,
-                                        print_progress)
-            savename = os.path.join(extrapath, savename)
-    if savename != extraname:
-        shutil.move(savename, extraname)
-    return extraname
+    root = _extract(archive_path, extrapath, print_progress)
+    if root is None:
+        # Plain file: deliver it inside the target directory.
+        os.makedirs(target, exist_ok=True)
+        shutil.move(archive_path, os.path.join(target,
+                                               os.path.basename(archive_path)))
+        return target
+
+    extracted = os.path.join(extrapath, root)
+    if os.path.abspath(extracted) != os.path.abspath(target):
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        shutil.move(extracted, target)
+    if delete_file and os.path.exists(archive_path):
+        os.remove(archive_path)
+    return target

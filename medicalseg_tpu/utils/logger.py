@@ -1,62 +1,74 @@
 # Copyright 2026. Apache License 2.0.
-"""Leveled, process-0-gated stdout logger.
+"""Process-0-gated console logging.
 
-Mirrors the reference logger (medicalseg/utils/logger.py:24-48): leveled
-lines with timestamps, only emitted on the primary host/process. In JAX
-the gate is ``jax.process_index() == 0`` instead of Paddle's local_rank.
+Capability parity with the reference's logger (medicalseg/utils/logger.py:
+24-48): timestamped, leveled lines printed only by the primary process of a
+multi-host run. Implemented on top of the stdlib :mod:`logging` machinery
+with a module-level verbosity knob so tests can silence it.
 """
 
 import contextlib
+import logging
 import sys
-import time
 
-levels = {0: "ERROR", 1: "WARNING", 2: "INFO", 3: "DEBUG"}
+# Numeric verbosity: 0=errors only .. 3=debug. Mirrors the reference's
+# level numbering so callers/tests can poke ``logger.log_level`` directly.
 log_level = 2
 
+_LEVEL_NAMES = ("ERROR", "WARNING", "INFO", "DEBUG")
+_PY_LEVELS = (logging.ERROR, logging.WARNING, logging.INFO, logging.DEBUG)
 
-def _is_primary():
+_logger = logging.getLogger("medicalseg_tpu")
+if not _logger.handlers:
+    _handler = logging.StreamHandler(sys.stdout)
+    _handler.setFormatter(
+        logging.Formatter(fmt="%(asctime)s [%(levelname)s]\t%(message)s",
+                          datefmt="%Y-%m-%d %H:%M:%S"))
+    _logger.addHandler(_handler)
+    _logger.setLevel(logging.DEBUG)
+    _logger.propagate = False
+
+
+def _primary_process():
+    """True on single-process runs and on process 0 of multi-host runs."""
     try:
         import jax
         return jax.process_index() == 0
-    except Exception:
+    except Exception:  # jax unavailable or uninitialized backend
         return True
 
 
 def log(level=2, message=""):
-    if _is_primary():
-        current_time = time.time()
-        time_array = time.localtime(current_time)
-        current_time = time.strftime("%Y-%m-%d %H:%M:%S", time_array)
-        if log_level >= level:
-            print("{} [{}]\t{}".format(current_time, levels[level],
-                                       message).encode("utf-8").decode(
-                                           "latin1"))
-            sys.stdout.flush()
-
-
-def debug(message=""):
-    log(level=3, message=message)
-
-
-def info(message=""):
-    log(level=2, message=message)
-
-
-def warning(message=""):
-    log(level=1, message=message)
+    if level > log_level or not _primary_process():
+        return
+    _logger.log(_PY_LEVELS[level], message)
+    for h in _logger.handlers:
+        h.flush()
 
 
 def error(message=""):
-    log(level=0, message=message)
+    log(0, message)
+
+
+def warning(message=""):
+    log(1, message)
+
+
+def info(message=""):
+    log(2, message)
+
+
+def debug(message=""):
+    log(3, message)
 
 
 @contextlib.contextmanager
 def quiet():
-    """Temporarily silence info/debug output (used by tests)."""
+    """Temporarily restrict output to warnings/errors (used by tests)."""
     global log_level
-    old = log_level
+    saved = log_level
     log_level = 1
     try:
         yield
     finally:
-        log_level = old
+        log_level = saved

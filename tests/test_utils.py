@@ -128,3 +128,62 @@ def test_visualize():
     img = np.random.RandomState(0).rand(2, 2)
     out = visualize(img, pred)
     assert out.shape == (2, 2, 3) and out.dtype == np.uint8
+
+
+def test_progbar_running_means(capsys):
+    from medicalseg_tpu.utils import Progbar
+    bar = Progbar(target=4, verbose=1, interval=0.0,
+                  stateful_metrics=["lr"])
+    bar.update(1, [("loss", 2.0), ("lr", 0.1)])
+    bar.update(2, [("loss", 4.0), ("lr", 0.2)])
+    # running mean of loss = 3.0; lr reported verbatim (stateful)
+    assert bar._metrics["loss"].value == pytest.approx(3.0)
+    assert bar._metrics["lr"] == 0.2
+    bar.update(4, [("loss", 3.0)], finalize=True)
+    out = capsys.readouterr().out
+    assert "4/4" in out and "loss" in out and out.endswith("\n")
+
+
+def test_progbar_unknown_target(capsys):
+    from medicalseg_tpu.utils import Progbar
+    bar = Progbar(target=None, verbose=1, interval=0.0)
+    bar.update(3, [("d", 0.5)])
+    assert "Unknown" in capsys.readouterr().out
+
+
+def test_download_file_and_uncompress_local_zip(tmp_path):
+    import zipfile
+    from medicalseg_tpu.utils.download import download_file_and_uncompress
+    src = tmp_path / "payload"
+    src.mkdir()
+    (src / "f.txt").write_text("hello")
+    archive = tmp_path / "payload.zip"
+    with zipfile.ZipFile(archive, "w") as z:
+        z.write(src / "f.txt", "payload/f.txt")
+
+    url = "file://" + str(archive)
+    save = tmp_path / "dl"
+    extra = tmp_path / "data"
+    out = download_file_and_uncompress(url, savepath=str(save),
+                                       extrapath=str(extra),
+                                       print_progress=False)
+    assert out == str(extra / "payload")
+    assert (extra / "payload" / "f.txt").read_text() == "hello"
+    # second call resumes (no re-download even if archive is deleted)
+    (save / "payload.zip").unlink()
+    out2 = download_file_and_uncompress(url, savepath=str(save),
+                                        extrapath=str(extra),
+                                        print_progress=False)
+    assert out2 == out
+
+
+def test_download_extraname_plain_file(tmp_path):
+    from medicalseg_tpu.utils.download import download_file_and_uncompress
+    blob = tmp_path / "weights.msgpack"
+    blob.write_bytes(b"\x00\x01")
+    out = download_file_and_uncompress(
+        "file://" + str(blob), savepath=str(tmp_path / "s"),
+        extrapath=str(tmp_path / "e"), extraname="model",
+        print_progress=False)
+    assert out == str(tmp_path / "e" / "model")
+    assert (tmp_path / "e" / "model" / "weights.msgpack").exists()
