@@ -88,12 +88,15 @@ def evaluate(state,
         return pred, logit, sum(loss_list), per_channel_dice
 
     # cache the jitted per-volume program on the dataset so repeated
-    # in-training evals don't re-trace (shapes are constant per dataset)
-    cache_key = "_jitted_eval_sw{}_{}".format(sw_num, id(state.apply_fn))
-    _eval_volume = getattr(eval_dataset, cache_key, None)
-    if _eval_volume is None:
-        _eval_volume = jax.jit(_eval_volume_impl)
-        setattr(eval_dataset, cache_key, _eval_volume)
+    # in-training evals don't re-trace (shapes are constant per dataset).
+    # The cached apply_fn is held strongly and compared by identity — an
+    # id()-keyed cache could stale-hit after GC reuses the address.
+    cache_key = "_jitted_eval_sw{}".format(sw_num)
+    cached = getattr(eval_dataset, cache_key, None)
+    if cached is None or cached[0] is not state.apply_fn:
+        cached = (state.apply_fn, jax.jit(_eval_volume_impl))
+        setattr(eval_dataset, cache_key, cached)
+    _eval_volume = cached[1]
 
     mdice = 0.0
     channel_dice_array = np.array([])

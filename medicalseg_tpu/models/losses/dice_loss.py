@@ -32,9 +32,11 @@ class DiceLoss:
             weight, jnp.float32)
         self.eps = 1e-5
         self.sigmoid_norm = bool(sigmoid_norm)
-        # accepted for config-layer parity (the loss builder stitches the
-        # dataset ignore_index into every non-Mixed loss); voxels with
-        # this label are masked out of the dice sums
+        # Voxels labelled ignore_index are masked out of all three dice
+        # sums (intersect, sum(p^2), label count). NOTE: the reference
+        # accepts ignore_index but never masks (reference dice_loss.py:
+        # 86-102 — ignored voxels still contribute to sum(p^2)); we
+        # implement the masking the parameter promises.
         self.ignore_index = ignore_index
 
     def compute_per_channel_dice(self, probs, target, epsilon=1e-6,
@@ -83,11 +85,12 @@ class DiceLoss:
             probs = jax.nn.softmax(logits, axis=-1)
 
         labels = labels.astype(jnp.int32)
+        valid = (labels != self.ignore_index).astype(jnp.float32)
         intersects = []
         denoms = []
         for c in range(num_classes):
-            p_c = probs[..., c].astype(jnp.float32)
-            mask_c = (labels == c).astype(jnp.float32)
+            p_c = probs[..., c].astype(jnp.float32) * valid
+            mask_c = (labels == c).astype(jnp.float32) * valid
             intersects.append(jnp.sum(p_c * mask_c))
             denoms.append(jnp.sum(p_c * p_c) + jnp.sum(mask_c))
         intersect = jnp.stack(intersects)

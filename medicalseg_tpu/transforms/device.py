@@ -8,7 +8,8 @@ volumes; augmentation runs *on device inside one jitted function* with
 per-example PRNG keys:
 
   * RandomResizedCrop3D -> fused dynamic crop+resize (ops.crop_resize3d,
-    one executable for every random crop geometry);
+    one executable for every random crop geometry), including the
+    pre_crop / nonzero_mask modes (reference transform.py:279-323);
   * RandomRotation3D    -> affine warp, lax.switch over the three planes;
   * RandomFlip3D        -> traced-boolean index flips;
   * Resize3D            -> static separable resize;
@@ -37,7 +38,9 @@ def supports(transforms):
 def _sample_crop_params(key, in_shape, scale, ratio):
     """jax version of RandomResizedCrop3D.get_params (reference
     transform.py:242-277): 10 vectorized rejection attempts, center-cube
-    fallback. Returns (start[3] int32, crop[3] int32)."""
+    fallback. ``in_shape`` may be a static tuple or a traced int32[3]
+    (the pre_crop path feeds the sampled pre-crop extent through).
+    Returns (start[3] int32, crop[3] int32)."""
     kd, kv, ka, kp, ko = jax.random.split(key, 5)
     n_att = 10
     in_shape_f = jnp.asarray(in_shape, jnp.float32)
@@ -80,8 +83,63 @@ def _sample_crop_params(key, in_shape, scale, ratio):
     return start, crop
 
 
+def _nonzero_bbox(label):
+    """(start[3], extent[3]) of the label-nonzero bounding box.
+
+    Matches the host pre_crop_util bbox (reference transform.py:297-306),
+    except an all-zero label falls back to the full extent instead of
+    crashing (the reference raises on np.min of an empty index list).
+    """
+    nz = label != 0
+    any_voxels = jnp.any(nz)
+    starts, extents = [], []
+    for ax in range(3):
+        other = tuple(a for a in range(3) if a != ax)
+        line = jnp.any(nz, axis=other)
+        n = line.shape[0]
+        idx = jnp.arange(n)
+        lo = jnp.min(jnp.where(line, idx, n))
+        hi = jnp.max(jnp.where(line, idx, -1)) + 1
+        lo = jnp.where(any_voxels, lo, 0).astype(jnp.int32)
+        hi = jnp.where(any_voxels, hi, n).astype(jnp.int32)
+        starts.append(lo)
+        extents.append(hi - lo)
+    return jnp.stack(starts), jnp.stack(extents)
+
+
+def _sample_pre_crop(t, key, img_shape, label):
+    """Device port of pre_crop_util (reference transform.py:279-323):
+    sample a near-target-size window, optionally confined to the
+    label-nonzero bbox. Returns (start[3], crop[3]) int32 (traced)."""
+    ku, ko = jax.random.split(key)
+    target = jnp.asarray(t.size, jnp.float32)
+    crop_size = jnp.round(
+        jax.random.uniform(ku, (3,), minval=t.scale[0],
+                           maxval=t.scale[1]) * target).astype(jnp.int32)
+    if t.nonzero_mask:
+        base, extent = _nonzero_bbox(label)
+    else:
+        base = jnp.zeros((3,), jnp.int32)
+        extent = jnp.asarray(img_shape, jnp.int32)
+    crop = jnp.minimum(extent, crop_size)
+    u = jax.random.uniform(ko, (3,))
+    offset = jnp.floor(u * (extent - crop + 1).astype(jnp.float32)).astype(
+        jnp.int32)
+    return base + offset, crop
+
+
 def _apply_crop(t, key, img, label):
-    start, crop = _sample_crop_params(key, img.shape[:3], t.scale, t.ratio)
+    if t.pre_crop:
+        # two-stage crop composed into ONE fused crop+resize: the random
+        # scale/aspect window is sampled inside the pre-crop extent, then
+        # offset back into full-volume coordinates.
+        kp, kc = jax.random.split(key)
+        pre_start, pre_crop = _sample_pre_crop(t, kp, img.shape[:3], label)
+        start, crop = _sample_crop_params(kc, pre_crop, t.scale, t.ratio)
+        start = pre_start + start
+    else:
+        start, crop = _sample_crop_params(key, img.shape[:3], t.scale,
+                                          t.ratio)
     img = ops.crop_resize3d(img, start, crop, t.size,
                             order=t.interpolation)
     if label is not None:

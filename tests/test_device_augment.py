@@ -74,3 +74,52 @@ def test_crop_distribution_varies():
                            jax.random.PRNGKey(s))[0]) for s in range(4)]
     # different seeds produce different crops
     assert not all(np.allclose(outs[0], o) for o in outs[1:])
+
+
+def test_pre_crop_nonzero_mask_confines_to_bbox():
+    """Device pre_crop + nonzero_mask (round 2): sampled content must come
+    from inside the label-nonzero bounding box (reference transform.py:
+    279-323 semantics)."""
+    img = np.full((1, 16, 16, 16), -1.0, np.float32)
+    lab = np.zeros((1, 16, 16, 16), np.int32)
+    # nonzero bbox = [4:12, 4:12, 4:12]; mark its img region positive
+    img[:, 4:12, 4:12, 4:12] = np.abs(
+        np.random.RandomState(0).rand(8, 8, 8)) + 1.0
+    lab[:, 4:12, 4:12, 4:12] = 1
+    aug = DeviceAugmentor([
+        RandomResizedCrop3D(size=6, scale=(0.9, 1.0), pre_crop=True,
+                            nonzero_mask=True)])
+    for seed in range(4):
+        out_img, out_lab = aug(jnp.asarray(img), jnp.asarray(lab),
+                               jax.random.PRNGKey(seed))
+        # all sampled voxels originate inside the bbox (positive values;
+        # trilinear resize of positive values stays positive)
+        assert float(out_img.min()) > 0.0
+        assert int(out_lab.min()) == 1
+        assert out_img.shape == (1, 6, 6, 6, 1)
+
+
+def test_pre_crop_without_mask_shapes_and_variety():
+    aug = DeviceAugmentor([
+        RandomResizedCrop3D(size=6, scale=(0.8, 1.2), pre_crop=True)])
+    rng = np.random.RandomState(3)
+    img = rng.rand(2, 16, 16, 16).astype(np.float32)
+    lab = rng.randint(0, 2, (2, 16, 16, 16)).astype(np.int32)
+    outs = [np.asarray(aug(jnp.asarray(img), jnp.asarray(lab),
+                           jax.random.PRNGKey(s))[0]) for s in range(3)]
+    assert outs[0].shape == (2, 6, 6, 6, 1)
+    assert not all(np.allclose(outs[0], o) for o in outs[1:])
+
+
+def test_pre_crop_all_zero_label_falls_back_to_full_extent():
+    """All-zero label + nonzero_mask: device path must not produce NaNs
+    (the reference host path crashes here; we fall back to full extent)."""
+    img = np.random.RandomState(4).rand(1, 12, 12, 12).astype(np.float32)
+    lab = np.zeros((1, 12, 12, 12), np.int32)
+    aug = DeviceAugmentor([
+        RandomResizedCrop3D(size=6, scale=(0.9, 1.1), pre_crop=True,
+                            nonzero_mask=True)])
+    out_img, out_lab = aug(jnp.asarray(img), jnp.asarray(lab),
+                           jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(out_img)).all()
+    assert out_img.shape == (1, 6, 6, 6, 1)

@@ -100,3 +100,33 @@ def test_mixed_loss_and_dispatcher():
     ll4, _ = loss_computation([jnp.asarray(logits)] * 4,
                               jnp.asarray(labels), losses4)
     assert len(ll4) == 8
+
+
+def test_dice_ignore_index_masks_all_sums():
+    """Voxels labelled ignore_index must drop out of intersect, sum(p^2),
+    and the label count (round-2 fix; the reference never masks)."""
+    logits = _rand((1, 4, 4, 4, 2), seed=3)
+    labels = np.random.RandomState(4).randint(0, 2, (1, 4, 4, 4))
+    ignored = np.random.RandomState(5).rand(1, 4, 4, 4) < 0.3
+    labels_ig = np.where(ignored, 255, labels)
+
+    loss, pcd = DiceLoss(ignore_index=255)(jnp.asarray(logits),
+                                           jnp.asarray(labels_ig))
+    # manual: restrict every sum to valid voxels
+    probs = 1 / (1 + np.exp(-logits))
+    valid = ~ignored
+    p = probs[valid[..., None].repeat(2, -1)].reshape(-1, 2).T
+    t = np.eye(2)[labels[valid]].T
+    intersect = (p * t).sum(-1)
+    denom = (p * p).sum(-1) + t.sum(-1)
+    pcd_ref = 2 * intersect / np.clip(denom, 1e-6, None)
+    np.testing.assert_allclose(np.asarray(pcd), pcd_ref, rtol=1e-5)
+    np.testing.assert_allclose(float(loss), 1 - pcd_ref.mean(), rtol=1e-5)
+
+    # and with no ignored voxels present, masking is a no-op
+    loss_a, pcd_a = DiceLoss(ignore_index=255)(jnp.asarray(logits),
+                                               jnp.asarray(labels))
+    loss_b, pcd_b = DiceLoss(ignore_index=7)(jnp.asarray(logits),
+                                             jnp.asarray(labels))
+    np.testing.assert_allclose(np.asarray(pcd_a), np.asarray(pcd_b),
+                               rtol=1e-6)
