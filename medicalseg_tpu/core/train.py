@@ -32,7 +32,7 @@ from ..utils import (TimeAverager, calculate_eta, logger, resume,
                      save_checkpoint, save_checkpoint_async,
                      train_profiler)
 from .loader import TrainLoader
-from .state import TrainState, make_train_step
+from .state import TrainState, make_multi_step, make_train_step
 from .val import evaluate
 
 
@@ -68,7 +68,8 @@ def train(model,
           mesh=None,
           space=1,
           data_loader_mode="auto",
-          async_checkpoint=True):
+          async_checkpoint=True,
+          steps_per_dispatch=1):
     """Launch training. Argument surface mirrors the reference
     (core/train.py:30-45); ``optimizer`` is an optax transformation and
     ``lr_scheduler`` the matching schedule (for logging)."""
@@ -127,7 +128,33 @@ def train(model,
         step_fn,
         in_shardings=(repl, img_sh, lab_sh, repl),
         donate_argnums=(0,))
+
+    # optional dispatch amortization: scan n steps per device program so
+    # one host round-trip covers n optimizer updates (core/state.py
+    # make_multi_step). RNG folding is per state.step, so the sample
+    # stream is bit-identical to single-step dispatch.
+    n_dispatch = max(int(steps_per_dispatch), 1)
+    jit_multi = None
+    if n_dispatch > 1:
+        if log_iters % n_dispatch or save_interval % n_dispatch:
+            raise ValueError(
+                "steps_per_dispatch ({}) must divide log_iters ({}) and "
+                "save_interval ({})".format(n_dispatch, log_iters,
+                                            save_interval))
+        multi_fn = make_multi_step(losses, n_dispatch,
+                                   augment_fn=augment_fn)
+        jit_multi = jax.jit(
+            multi_fn,
+            in_shardings=(repl, mesh_lib.stacked_sharding(mesh, img_sh),
+                          mesh_lib.stacked_sharding(mesh, lab_sh), repl),
+            donate_argnums=(0,))
     base_key = jax.random.PRNGKey(seed + 1)
+
+    # commit the freshly-created state to its mesh sharding up front:
+    # otherwise the first dispatch sees uncommitted inputs and the second
+    # sees committed ones — two compiles of the same program (5-15 min
+    # each on a remote TPU).
+    state = jax.device_put(state, repl)
 
     log_writer = None
     if use_vdl and is_primary:
@@ -151,28 +178,60 @@ def train(model,
     it = start_iter
     with mesh:
         while it < iters:
-            images, labels = next(loader)
-            reader_cost_averager.record(time.time() - batch_start)
+            # how many steps this dispatch may take without crossing a
+            # log/save boundary (resume can start misaligned; this
+            # self-heals to n_dispatch at the next boundary)
+            boundary = min(
+                (it // log_iters + 1) * log_iters,
+                (it // save_interval + 1) * save_interval, iters)
+            take = min(n_dispatch, boundary - it)
 
-            images, labels = mesh_lib.shard_batch(mesh, images, labels)
-            state, metrics = jit_step(state, images, labels, base_key)
-            it += 1
-            pending.append(metrics)
-
-            train_profiler.add_profiler_step(profiler_options)
+            if jit_multi is not None and take == n_dispatch:
+                batches = [next(loader) for _ in range(take)]
+                reader_cost_averager.record(time.time() - batch_start)
+                images = np.stack([b[0] for b in batches])
+                labels = np.stack([b[1] for b in batches])
+                images = jax.device_put(
+                    images, mesh_lib.stacked_sharding(mesh, img_sh))
+                labels = jax.device_put(
+                    labels, mesh_lib.stacked_sharding(mesh, lab_sh))
+                state, metrics = jit_multi(state, images, labels,
+                                           base_key)
+                it += take
+                pending.append(metrics)
+                for _ in range(take):
+                    train_profiler.add_profiler_step(profiler_options)
+            else:
+                for _ in range(take):
+                    images, labels = next(loader)
+                    reader_cost_averager.record(time.time() - batch_start)
+                    images, labels = mesh_lib.shard_batch(mesh, images,
+                                                          labels)
+                    state, metrics = jit_step(state, images, labels,
+                                              base_key)
+                    it += 1
+                    pending.append(metrics)
+                    train_profiler.add_profiler_step(profiler_options)
 
             batch_cost_averager.record(
-                time.time() - batch_start, num_samples=global_batch)
+                time.time() - batch_start,
+                num_samples=global_batch * take)
 
             if it % log_iters == 0 and is_primary:
                 # fetch the metric window from device
                 fetched = jax.device_get(pending)
                 pending = []
-                losses_np = np.stack([m["loss"] for m in fetched])
+                # single-step metrics are scalar/(L,)/(C,); multi-step
+                # dispatches stack a leading n_steps axis — normalize
+                losses_np = np.concatenate(
+                    [np.atleast_1d(m["loss"]) for m in fetched])
                 avg_loss = float(losses_np.mean())
-                ll = np.stack([m["loss_list"] for m in fetched])
+                ll = np.concatenate(
+                    [np.atleast_2d(m["loss_list"]) for m in fetched])
                 avg_loss_list = ll.mean(axis=0)
-                pcd = np.stack([m["per_channel_dice"] for m in fetched])
+                pcd = np.concatenate(
+                    [np.atleast_2d(m["per_channel_dice"])
+                     for m in fetched])
                 channel_dice_array = pcd.mean(axis=0)
                 mdice = float(pcd.mean()) * 100
 

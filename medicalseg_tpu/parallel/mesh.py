@@ -82,6 +82,13 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+def stacked_sharding(mesh: Mesh, sharding: NamedSharding):
+    """``sharding`` with an extra leading unsharded axis — the layout of
+    the [n_steps, ...] super-batches fed to the multi-step scan
+    (core/state.make_multi_step)."""
+    return NamedSharding(mesh, P(None, *sharding.spec))
+
+
 def shard_batch(mesh: Mesh, images, labels, spatial_axis: Optional[int] = 2):
     """Place a host batch onto the mesh with batch(+spatial) sharding."""
     img_sh = batch_sharding(mesh, spatial_axis if np.ndim(images) == 5

