@@ -163,16 +163,19 @@ class TrainLoader:
 class EvalLoader:
     """Sequential batch-size-1 loader over the val set (reference
     core/val.py:65-71). Yields (image NDHWC [1,D,H,W,1], label [1,D,H,W],
-    index)."""
+    index). ``start``/``stop`` select a per-process shard of the index
+    range (reference DistributedBatchSampler, val.py:65-71)."""
 
-    def __init__(self, dataset):
+    def __init__(self, dataset, start=0, stop=None):
         self.dataset = dataset
+        self.start = int(start)
+        self.stop = len(dataset) if stop is None else int(stop)
 
     def __len__(self):
-        return len(self.dataset)
+        return max(self.stop - self.start, 0)
 
     def __iter__(self):
-        for idx in range(len(self.dataset)):
+        for idx in range(self.start, self.stop):
             im, label, _ = self.dataset[idx]
             im = np.moveaxis(np.asarray(im, np.float32), 0, -1)[None]
             label = np.asarray(label, np.int32)[None]

@@ -270,7 +270,8 @@ def train(model,
                 result_dict = evaluate(
                     state, val_dataset, losses,
                     num_workers=num_workers, writer=log_writer,
-                    print_detail=True, auc_roc=False, save_dir=save_dir)
+                    print_detail=True, auc_roc=False, save_dir=save_dir,
+                    mesh=mesh)
 
             if (it % save_interval == 0 or it == iters) and is_primary:
                 current_save_dir = os.path.join(save_dir,

@@ -8,8 +8,15 @@ optional AUC-ROC accumulation, first-5 artifact dump (npy + nii.gz with
 dataset.json geometry), progbar, and a result dict {'mdice', ['auc_roc']}
 with the per-class dice vector logged.
 
-The per-volume forward+loss is one jitted function reused across
-volumes (shapes are constant across a phase0 val set).
+Sharded evaluation (round 2): volumes are distributed two ways, matching
+the reference's DistributedBatchSampler sharding (val.py:65-71) —
+  * across *devices*: with a mesh, ``data``-axis-many volumes are
+    vmapped into one dispatch with the batch axis sharded over the mesh,
+    so in-train eval on an N-chip slice runs ~N volumes at a time;
+  * across *processes*: each host evaluates a contiguous shard of the
+    val set (parallel.mesh.process_shard) and the dice/loss sums are
+    combined with a cross-process allgather.
+Artifact writes are gated to process 0.
 """
 
 import json
@@ -21,6 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..parallel import mesh as mesh_lib
 from ..utils import (Progbar, TimeAverager, logger, metric, save_array)
 from ..utils.loss_utils import loss_computation
 from . import infer
@@ -35,15 +43,33 @@ def evaluate(state,
              auc_roc=False,
              writer=None,
              save_dir=None,
-             sw_num=None):
+             sw_num=None,
+             mesh=None):
     """Evaluate ``state`` (core.state.TrainState) on ``eval_dataset``.
 
     Returns {"mdice": float, ["auc_roc": float]}.
     """
     new_loss = {"types": [losses["types"][0]], "coef": [losses["coef"][0]]}
+    is_primary = jax.process_index() == 0
 
-    loader = EvalLoader(eval_dataset)
-    total_iters = len(loader)
+    # ---- volume distribution -------------------------------------------
+    # across processes (multi-host): contiguous index shards; AUC-ROC
+    # needs every logit on one host, so it forces the unsharded path.
+    shard_procs = jax.process_count() > 1 and not auc_roc
+    if shard_procs:
+        lo, hi = mesh_lib.process_shard(len(eval_dataset))
+    else:
+        lo, hi = 0, len(eval_dataset)
+    loader = EvalLoader(eval_dataset, start=lo, stop=hi)
+    local_iters = len(loader)
+    total_iters = len(eval_dataset)
+
+    # across devices (single process): stack `group` volumes per dispatch
+    # and shard the batch axis over the mesh's data axis.
+    group = 1
+    if mesh is not None and not sw_num:
+        group = int(mesh.shape["data"])
+    group = max(1, min(group, max(local_iters, 1)))
 
     dataset_json_dict = None
     if getattr(eval_dataset, "dataset_json_path", "") and os.path.exists(
@@ -54,116 +80,166 @@ def evaluate(state,
 
     if print_detail:
         logger.info(
-            "Start evaluating (total_samples: {}, total_iters: {})...".
-            format(len(eval_dataset), total_iters))
-    progbar_val = Progbar(target=total_iters, verbose=1)
+            "Start evaluating (total_samples: {}, total_iters: {}, "
+            "volumes/dispatch: {})...".format(
+                len(eval_dataset), total_iters, group))
+    progbar_val = Progbar(target=local_iters, verbose=1)
     reader_cost_averager = TimeAverager()
     batch_cost_averager = TimeAverager()
     batch_start = time.time()
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    def _eval_volume_impl(variables, im, label):
+    def _eval_one(variables, im, label):
+        """Per-volume forward + loss. im [D,H,W,1], label [D,H,W]."""
         if sw_num:
             # sliding-window whole-volume inference with overlap blending
             # (beyond-reference; core/sliding_window.py)
             from .sliding_window import sliding_window_inference
-            dhw = im.shape[1:4]
+            dhw = im.shape[:3]
             roi = tuple(max(1, s // int(sw_num)) for s in dhw)
             logit = sliding_window_inference(
-                state.apply_fn, variables, im[0], roi,
+                state.apply_fn, variables, im, roi,
                 num_classes=eval_dataset.num_classes)[None]
-            if tuple(label.shape[-3:]) != logit.shape[1:4]:
+            if tuple(label.shape) != logit.shape[1:4]:
                 logit = infer.reverse_transform(
-                    logit, label.shape[-3:],
+                    logit, label.shape,
                     eval_dataset.transforms.transforms)
             pred = jnp.argmax(logit, axis=-1).astype(jnp.int32)
         else:
             pred, logit = infer.inference(
-                state.apply_fn, variables, im,
-                ori_shape=label.shape[-3:],
+                state.apply_fn, variables, im[None],
+                ori_shape=label.shape,
                 transforms=eval_dataset.transforms.transforms)
         loss_list, per_channel_dice = loss_computation(
-            [logit], label, new_loss)
-        return pred, logit, sum(loss_list), per_channel_dice
+            [logit], label[None], new_loss)
+        return pred[0], logit[0], sum(loss_list), per_channel_dice
+
+    def _eval_group(variables, ims, labels):
+        """[group, ...] stacked volumes, each evaluated independently."""
+        return jax.vmap(_eval_one, in_axes=(None, 0, 0))(variables, ims,
+                                                         labels)
 
     # cache the jitted per-volume program on the dataset so repeated
     # in-training evals don't re-trace (shapes are constant per dataset).
     # The cached apply_fn is held strongly and compared by identity — an
     # id()-keyed cache could stale-hit after GC reuses the address.
-    cache_key = "_jitted_eval_sw{}".format(sw_num)
+    cache_key = "_jitted_eval_sw{}_g{}".format(sw_num, group)
     cached = getattr(eval_dataset, cache_key, None)
     if cached is None or cached[0] is not state.apply_fn:
-        cached = (state.apply_fn, jax.jit(_eval_volume_impl))
+        if group > 1:
+            img_sh = mesh_lib.batch_sharding(mesh, spatial_axis=None)
+            lab_sh = mesh_lib.label_sharding(mesh, spatial_axis=None)
+            repl = mesh_lib.replicated(mesh)
+            fn = jax.jit(_eval_group, in_shardings=(repl, img_sh, lab_sh))
+            cached = (state.apply_fn, fn, img_sh, lab_sh)
+        else:
+            cached = (state.apply_fn, jax.jit(_eval_group), None, None)
         setattr(eval_dataset, cache_key, cached)
-    _eval_volume = cached[1]
+    _eval_fn, img_sh, lab_sh = cached[1], cached[2], cached[3]
 
-    mdice = 0.0
-    channel_dice_array = np.array([])
-    loss_all = 0.0
+    mdice_sum = 0.0
+    channel_sum = None
+    loss_sum = 0.0
     logits_all, label_all = None, None
 
-    for it, (im, label, idx) in enumerate(loader):
+    volume_iter = iter(loader)
+    done = 0
+    while done < local_iters:
+        chunk = []
+        for _ in range(min(group, local_iters - done)):
+            chunk.append(next(volume_iter))
+        k = len(chunk)
         reader_cost_averager.record(time.time() - batch_start)
 
-        pred, logit, loss, per_channel_dice = _eval_volume(
-            variables, im, label)
-        per_channel_dice = np.asarray(per_channel_dice)
+        ims = np.concatenate([c[0] for c in chunk], axis=0)
+        labs = np.concatenate([c[1] for c in chunk], axis=0)
+        if k < group:  # pad the tail dispatch; padded results dropped
+            ims = np.concatenate(
+                [ims, np.repeat(ims[-1:], group - k, axis=0)], axis=0)
+            labs = np.concatenate(
+                [labs, np.repeat(labs[-1:], group - k, axis=0)], axis=0)
+        if img_sh is not None:
+            ims = jax.device_put(ims, img_sh)
+            labs = jax.device_put(labs, lab_sh)
 
-        if auc_roc:
-            probs = np.asarray(jax.nn.softmax(logit, axis=-1))
-            probs = np.moveaxis(probs, -1, 1)  # N, C, D, H, W
-            if logits_all is None:
-                logits_all, label_all = probs, np.asarray(label)
+        preds, logits, losses_v, pcds = jax.device_get(
+            _eval_fn(variables, ims, labs))
+
+        for j in range(k):
+            per_channel_dice = np.asarray(pcds[j])
+            if auc_roc:
+                probs = np.asarray(
+                    jax.nn.softmax(jnp.asarray(logits[j][None]), axis=-1))
+                probs = np.moveaxis(probs, -1, 1)  # N, C, D, H, W
+                lab_j = np.asarray(chunk[j][1])
+                if logits_all is None:
+                    logits_all, label_all = probs, lab_j
+                else:
+                    logits_all = np.concatenate([logits_all, probs])
+                    label_all = np.concatenate([label_all, lab_j])
+
+            loss_sum += float(losses_v[j])
+            mdice_sum += float(np.mean(per_channel_dice))
+            if channel_sum is None:
+                channel_sum = per_channel_dice.copy()
             else:
-                logits_all = np.concatenate([logits_all, probs])
-                label_all = np.concatenate([label_all, np.asarray(label)])
+                channel_sum = channel_sum + per_channel_dice
 
-        loss_all += float(loss)
-        mdice += float(np.mean(per_channel_dice))
-        if channel_dice_array.size == 0:
-            channel_dice_array = per_channel_dice
-        else:
-            channel_dice_array = channel_dice_array + per_channel_dice
+            if done + j < 5 and save_dir is not None and is_primary:
+                idx = chunk[j][2]
+                image_infor = {"spacing": (1, 1, 1), "origin": (0, 0, 0),
+                               "direction": tuple(np.eye(3).reshape(-1))}
+                if dataset_json_dict is not None:
+                    name = eval_dataset.file_list[idx][0].split(
+                        "/")[-1].split(".")[0]
+                    image_json = dataset_json_dict.get("training", {}).get(
+                        name, {})
+                    image_infor = {
+                        "spacing": image_json.get("spacing_resample",
+                                                  (1, 1, 1)),
+                        "direction": image_json.get(
+                            "direction", tuple(np.eye(3).reshape(-1))),
+                        "origin": image_json.get("origin", (0, 0, 0)),
+                    }
+                save_array(
+                    save_path=os.path.join(save_dir, str(done + j)),
+                    save_content={
+                        "pred": np.asarray(preds[j]),
+                        "label": np.asarray(chunk[j][1][0]),
+                        "img": np.asarray(chunk[j][0][0, ..., 0]),
+                    },
+                    form=("npy", "nii.gz"),
+                    image_infor=image_infor)
 
-        if it < 5 and save_dir is not None:
-            image_infor = {"spacing": (1, 1, 1), "origin": (0, 0, 0),
-                           "direction": tuple(np.eye(3).reshape(-1))}
-            if dataset_json_dict is not None:
-                name = eval_dataset.file_list[idx][0].split("/")[-1].split(
-                    ".")[0]
-                image_json = dataset_json_dict.get("training", {}).get(
-                    name, {})
-                image_infor = {
-                    "spacing": image_json.get("spacing_resample",
-                                              (1, 1, 1)),
-                    "direction": image_json.get(
-                        "direction", tuple(np.eye(3).reshape(-1))),
-                    "origin": image_json.get("origin", (0, 0, 0)),
-                }
-            save_array(
-                save_path=os.path.join(save_dir, str(it)),
-                save_content={
-                    "pred": np.asarray(pred),
-                    "label": np.asarray(label),
-                    "img": np.asarray(im)[..., 0],
-                },
-                form=("npy", "nii.gz"),
-                image_infor=image_infor)
-
-        batch_cost_averager.record(
-            time.time() - batch_start, num_samples=label.shape[0])
-        if print_detail and jax.process_index() == 0:
-            progbar_val.update(it + 1, [
+        done += k
+        batch_cost_averager.record(time.time() - batch_start,
+                                   num_samples=k)
+        if print_detail and is_primary:
+            progbar_val.update(done, [
                 ("batch_cost", batch_cost_averager.get_average()),
                 ("reader cost", reader_cost_averager.get_average())])
         reader_cost_averager.reset()
         batch_cost_averager.reset()
         batch_start = time.time()
 
-    mdice /= total_iters
-    channel_dice_array = channel_dice_array / total_iters
-    loss_all /= total_iters
+    # ---- aggregate ------------------------------------------------------
+    count = float(local_iters)
+    if channel_sum is None:
+        channel_sum = np.zeros((1,), np.float64)
+    if shard_procs:
+        # combine per-process partial sums (reference aggregates over the
+        # sampler shards implicitly by running one loader per rank)
+        from jax.experimental import multihost_utils
+        vec = np.concatenate([[mdice_sum, loss_sum, count],
+                              channel_sum]).astype(np.float64)
+        vec = np.asarray(multihost_utils.process_allgather(vec)).sum(0)
+        mdice_sum, loss_sum, count = vec[0], vec[1], vec[2]
+        channel_sum = vec[3:]
+
+    mdice = mdice_sum / max(count, 1.0)
+    channel_dice_array = channel_sum / max(count, 1.0)
+    loss_all = loss_sum / max(count, 1.0)
 
     result_dict = {"mdice": mdice}
     auc_infor = ""

