@@ -2,19 +2,27 @@
 """Headline benchmark — run on real TPU hardware by the driver.
 
 Measures, on one chip:
-  1. end-to-end CT pipeline throughput: raw HU volume -> HUnorm ->
-     resample to 128^3 -> VNet forward -> argmax (volumes/sec). The
-     reference's GPU (CuPy) preprocessing alone does 20 scans in 31.4 s
-     = 0.637 vol/s (BASELINE.md; README.md:55-58) — that's the
-     vs_baseline denominator, and our number additionally includes
-     inference.
-  2. training throughput: fused augment+fwd+bwd+opt step on 128^3
-     patches (patches/sec/chip).
+  1. END-TO-END CT pipeline throughput FROM DISK (the headline): .npy
+     volume read by the native C++ loader -> host->device copy ->
+     HUnorm -> resample to 128^3 -> VNet bf16 forward -> argmax
+     (volumes/sec). The reference's GPU (CuPy) preprocessing alone does
+     20 scans in 31.4 s = 0.637 vol/s (BASELINE.md; README.md:55-58) —
+     that's the vs_baseline denominator, and our number additionally
+     includes ingest + inference.
+  2. the same pipeline from raw .nii.gz (gzip decode on host) — the
+     cold-ingest variant.
+  3. the device-resident compute-only number (sub-metric, what round 1
+     reported as the headline).
+  4. training throughput: fused augment+fwd+bwd+opt step on 128^3
+     patches (patches/sec/chip), single-step and multi-step
+     (--steps_per_dispatch amortization) variants.
 
 Prints ONE JSON line with the headline metric + sub-metrics.
 """
 
 import json
+import os
+import tempfile
 import time
 
 import numpy as np
@@ -75,7 +83,99 @@ def bench_pipeline(n_volumes=20, raw_shape=(200, 512, 512), iters=3):
     return best
 
 
-def bench_train(batch=1, iters=10, remat=True):
+def _make_pipeline_fn():
+    """(variables, jitted raw->pred fn) for the HUnorm+resample+VNet
+    pipeline at 128^3."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from medicalseg_tpu import ops
+    from medicalseg_tpu.core.state import TrainState
+    from medicalseg_tpu.models import VNet
+
+    model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16)
+    sample = jnp.zeros((1, 128, 128, 128, 1), jnp.float32)
+    state = TrainState.create(model, optax.sgd(1e-3), sample,
+                              jax.random.PRNGKey(0))
+
+    @jax.jit
+    def pipeline(variables, raw):
+        vol = ops.hu_norm_resize(raw, (128, 128, 128))
+        vol = vol / jnp.maximum(jnp.max(vol), 1e-6)
+        logits = model.apply(variables, vol[None, ..., None],
+                             train=False)[0]
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    return state.variables, pipeline
+
+
+def _write_bench_volumes(tmpdir, n, raw_shape, niigz):
+    """Synthesize raw CT volumes on disk: .npy always, .nii.gz option."""
+    from medicalseg_tpu.io import nifti
+    rng = np.random.RandomState(0)
+    npy_paths, nii_paths = [], []
+    for i in range(n):
+        vol = rng.uniform(-1200, 600, raw_shape).astype(np.float32)
+        p = os.path.join(tmpdir, "vol{}.npy".format(i))
+        np.save(p, vol)
+        npy_paths.append(p)
+        if niigz:
+            pn = os.path.join(tmpdir, "vol{}.nii.gz".format(i))
+            nifti.write(pn, vol)
+            nii_paths.append(pn)
+    return npy_paths, nii_paths
+
+
+def bench_pipeline_disk(n_volumes=20, raw_shape=(200, 512, 512),
+                        n_files=4, niigz_volumes=4):
+    """End-to-end volumes/sec from DISK: file read + host->device + the
+    full device pipeline. Returns (npy_vps, niigz_vps).
+
+    n_files distinct volumes cycled n_volumes times (the OS page cache
+    keeps them warm after the first epoch — representative of real
+    multi-epoch training ingest).
+    """
+    import jax
+
+    variables, pipeline = _make_pipeline_fn()
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        npy_paths, nii_paths = _write_bench_volumes(
+            tmpdir, n_files, raw_shape, niigz=niigz_volumes > 0)
+
+        # --- .npy via the native C++ loader ---------------------------
+        from medicalseg_tpu.data_native import NativeVolumeLoader
+        loader = NativeVolumeLoader(npy_paths, threads=2)
+        # warmup: compile + touch every file once
+        for i in range(n_files):
+            out = pipeline(variables, jax.device_put(loader.load_f32(i)))
+        _sync(out)
+
+        t0 = time.time()
+        for i in range(n_volumes):
+            raw = loader.load_f32(i % n_files)
+            out = pipeline(variables, jax.device_put(raw))
+        _sync(out)
+        npy_vps = n_volumes / (time.time() - t0)
+
+        # --- raw .nii.gz (host gzip decode dominates) ------------------
+        niigz_vps = 0.0
+        if nii_paths:
+            from medicalseg_tpu.io import nifti
+            _sync(pipeline(variables,
+                           jax.device_put(nifti.read(nii_paths[0])[0])))
+            t0 = time.time()
+            for i in range(niigz_volumes):
+                vol = nifti.read(nii_paths[i % len(nii_paths)])[0]
+                out = pipeline(variables,
+                               jax.device_put(np.ascontiguousarray(vol)))
+            _sync(out)
+            niigz_vps = niigz_volumes / (time.time() - t0)
+    return npy_vps, niigz_vps
+
+
+def bench_train(batch=1, iters=10, remat=True, steps_per_dispatch=1):
     import jax
     import jax.numpy as jnp
     import optax
@@ -98,18 +198,26 @@ def bench_train(batch=1, iters=10, remat=True):
     aug = DeviceAugmentor([
         RandomResizedCrop3D(size=128, scale=(0.8, 1.2)),
         RandomFlip3D()])
-    step = jax.jit(
-        make_train_step(losses, augment_fn=aug._augment_batch),
-        donate_argnums=(0,))
+    n = max(1, int(steps_per_dispatch))
+    if n > 1:
+        from medicalseg_tpu.core.state import make_multi_step
+        step = jax.jit(make_multi_step(losses, n,
+                                       augment_fn=aug._augment_batch),
+                       donate_argnums=(0,))
+    else:
+        step = jax.jit(
+            make_train_step(losses, augment_fn=aug._augment_batch),
+            donate_argnums=(0,))
 
     sample = jnp.zeros((batch, 128, 128, 128, 1), jnp.float32)
     state = TrainState.create(model, tx, sample, jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.rand(batch, 128, 128, 128).astype(
+    lead = (n, batch) if n > 1 else (batch,)
+    images = jnp.asarray(rng.rand(*lead, 128, 128, 128).astype(
         np.float32) * 255)
-    labels = jnp.asarray(rng.randint(0, 3, (batch, 128, 128, 128)).astype(
-        np.int32))
+    labels = jnp.asarray(rng.randint(
+        0, 3, lead + (128, 128, 128)).astype(np.int32))
     key = jax.random.PRNGKey(1)
 
     state, m = step(state, images, labels, key)  # compile
@@ -120,7 +228,7 @@ def bench_train(batch=1, iters=10, remat=True):
         state, m = step(state, images, labels, key)
     _sync(m["loss"])
     dt = time.time() - t0
-    return batch * iters / dt
+    return n * batch * iters / dt
 
 
 def main():
@@ -138,10 +246,13 @@ def main():
 
     backend = jax.devices()[0].platform
     small = backend == "cpu"
+    raw_shape = (64, 128, 128) if small else (200, 512, 512)
 
-    vols_per_sec = bench_pipeline(
-        n_volumes=4 if small else 20,
-        raw_shape=(64, 128, 128) if small else (200, 512, 512),
+    disk_vps, niigz_vps = bench_pipeline_disk(
+        n_volumes=4 if small else 20, raw_shape=raw_shape,
+        n_files=2 if small else 4, niigz_volumes=2 if small else 4)
+    device_vps = bench_pipeline(
+        n_volumes=4 if small else 20, raw_shape=raw_shape,
         iters=1 if small else 3)
     try:
         train_pps = bench_train(batch=1 if small else 2,
@@ -149,14 +260,25 @@ def main():
     except Exception as e:
         print("# train bench failed: {}".format(e))
         train_pps = 0.0
+    try:
+        train_pps_multi = bench_train(
+            batch=1 if small else 2, iters=1 if small else 4,
+            steps_per_dispatch=2 if small else 8)
+    except Exception as e:
+        print("# multi-step train bench failed: {}".format(e))
+        train_pps_multi = 0.0
 
     ref_gpu_preprocess_vps = 20 / 31.4  # BASELINE.md GPU path
     result = {
-        "metric": "CT preprocess+VNet-infer throughput (128^3), 1 chip",
-        "value": round(vols_per_sec, 3),
+        "metric": "CT disk->preprocess->VNet-infer e2e throughput "
+                  "(128^3), 1 chip",
+        "value": round(disk_vps, 3),
         "unit": "volumes/sec/chip",
-        "vs_baseline": round(vols_per_sec / ref_gpu_preprocess_vps, 2),
+        "vs_baseline": round(disk_vps / ref_gpu_preprocess_vps, 2),
+        "niigz_e2e_vps": round(niigz_vps, 3),
+        "device_resident_vps": round(device_vps, 3),
         "train_patches_per_sec_per_chip": round(train_pps, 3),
+        "train_pps_multistep": round(train_pps_multi, 3),
         "backend": backend,
     }
     print(json.dumps(result))

@@ -206,21 +206,24 @@ class Predictor:
             self._variables = serialization.msgpack_restore(blob)
 
     # ------------------------------------------------------------------
-    def _predict_sliding(self, vol):
+    def _predict_sliding(self, vols):
         """Whole-volume sliding-window inference with Gaussian overlap
-        blending (--use_swl): the volume keeps its native resolution and
-        the exported ROI slides over it (core/sliding_window.py)."""
+        blending (--use_swl): volumes keep their native resolution and
+        the exported ROI slides over them. A same-shape group of volumes
+        shares ONE window scan so the MXU batch stays full across volume
+        boundaries (core/sliding_window.py, batched variant)."""
         import jax
         import jax.numpy as jnp
         from medicalseg_tpu.core.sliding_window import (
-            sliding_window_inference)
+            sliding_window_inference_batched)
 
         if self._apply is None:
             self._build_from_config()
         roi = tuple(self.cfg.input_shape[1:4])
         num_classes = int(self.cfg.model_config.get("num_classes", 2))
-        logits = sliding_window_inference(
-            self._model.apply, self._variables, jnp.asarray(vol)[..., None],
+        volumes = jnp.stack([jnp.asarray(v) for v in vols])[..., None]
+        logits = sliding_window_inference_batched(
+            self._model.apply, self._variables, volumes,
             roi, num_classes=num_classes)
         if self.cfg.output_op == "softmax":
             return np.asarray(jax.nn.softmax(logits, axis=-1))
@@ -264,20 +267,37 @@ class Predictor:
         self._warmed = getattr(self, "_warmed", False)
 
         if self.args.use_swl:
-            # per-volume sliding-window path (native resolution; batch
-            # dimension is the window batch inside the jitted scan)
+            # sliding-window serving (native resolution): consecutive
+            # same-shape volumes are grouped up to batch_size and their
+            # windows stream through one jitted scan together
+            pend = []  # (path, vol) with a common shape
+
+            def _flush():
+                if not pend:
+                    return
+                t0 = time.time()
+                out = self._predict_sliding([v for _, v in pend])
+                self.timer.record("inference", time.time() - t0)
+                t0 = time.time()
+                for j, (path, _) in enumerate(pend):
+                    name = os.path.splitext(os.path.basename(path))[0]
+                    save_path = os.path.join(self.args.save_dir,
+                                             name + ".npy")
+                    np.save(save_path, out[j])
+                    results.append(save_path)
+                self.timer.record("postprocess", time.time() - t0)
+                pend.clear()
+
             for path in imgs:
                 t0 = time.time()
                 vol = self._preprocess(path)[0, ..., 0]
                 self.timer.record("preprocess", time.time() - t0)
-                t0 = time.time()
-                out = self._predict_sliding(vol)
-                self.timer.record("inference", time.time() - t0)
-                name = os.path.splitext(os.path.basename(path))[0]
-                save_path = os.path.join(self.args.save_dir,
-                                         name + ".npy")
-                np.save(save_path, out)
-                results.append(save_path)
+                if pend and vol.shape != pend[0][1].shape:
+                    _flush()
+                pend.append((path, vol))
+                if len(pend) >= max(1, self.args.batch_size):
+                    _flush()
+            _flush()
             if self.args.benchmark:
                 self.timer.report()
             return results

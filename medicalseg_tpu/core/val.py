@@ -65,11 +65,17 @@ def evaluate(state,
     total_iters = len(eval_dataset)
 
     # across devices (single process): stack `group` volumes per dispatch
-    # and shard the batch axis over the mesh's data axis.
+    # with the batch axis sharded over the mesh's data axis AND (when
+    # space > 1) the volume's H axis sharded over 'space' — whole-volume
+    # inference beyond single-chip HBM (XLA inserts conv halo exchanges).
     group = 1
-    if mesh is not None and not sw_num:
+    use_mesh = (mesh is not None and not sw_num and
+                (int(mesh.shape["data"]) > 1 or
+                 int(mesh.shape["space"]) > 1))
+    if use_mesh:
+        # always the full data-axis size — short sets pad the dispatch
+        # (the batch axis must stay divisible by the mesh axis)
         group = int(mesh.shape["data"])
-    group = max(1, min(group, max(local_iters, 1)))
 
     dataset_json_dict = None
     if getattr(eval_dataset, "dataset_json_path", "") and os.path.exists(
@@ -127,9 +133,9 @@ def evaluate(state,
     cache_key = "_jitted_eval_sw{}_g{}".format(sw_num, group)
     cached = getattr(eval_dataset, cache_key, None)
     if cached is None or cached[0] is not state.apply_fn:
-        if group > 1:
-            img_sh = mesh_lib.batch_sharding(mesh, spatial_axis=None)
-            lab_sh = mesh_lib.label_sharding(mesh, spatial_axis=None)
+        if use_mesh:
+            img_sh = mesh_lib.batch_sharding(mesh)
+            lab_sh = mesh_lib.label_sharding(mesh)
             repl = mesh_lib.replicated(mesh)
             fn = jax.jit(_eval_group, in_shardings=(repl, img_sh, lab_sh))
             cached = (state.apply_fn, fn, img_sh, lab_sh)

@@ -161,6 +161,9 @@ class VNet(nn.Module):
     remat: bool = False  # per-block rematerialization (HBM <-> FLOPs)
     head_conv: str = "default"  # 'default'|'narrow'|'lane_pad' (see
     # OutputTransition)
+    dropout: bool = True  # False disables the mid-stage ChannelDropouts
+    # (the reference's torch-alignment harness runs with dropout off,
+    # reference vnet.py:285-404)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -185,13 +188,14 @@ class VNet(nn.Module):
                      name="DownTransition_0")(out16, train)
         out64 = Down(32, 2, self.elu, False, ss[1], ks[1], self.dtype,
                      name="DownTransition_1")(out32, train)
-        out128 = Down(64, 3, self.elu, True, ss[2], ks[2], self.dtype,
+        do = self.dropout
+        out128 = Down(64, 3, self.elu, do, ss[2], ks[2], self.dtype,
                       name="DownTransition_2")(out64, train)
-        out256 = Down(128, 2, self.elu, True, ss[3], ks[3], self.dtype,
+        out256 = Down(128, 2, self.elu, do, ss[3], ks[3], self.dtype,
                       name="DownTransition_3")(out128, train)
-        out = Up(256, 256, 2, self.elu, True, True, ss[3], ks[3],
+        out = Up(256, 256, 2, self.elu, do, do, ss[3], ks[3],
                  self.dtype, name="UpTransition_0")(out256, out128, train)
-        out = Up(256, 128, 2, self.elu, True, True, ss[2], ks[2],
+        out = Up(256, 128, 2, self.elu, do, do, ss[2], ks[2],
                  self.dtype, name="UpTransition_1")(out, out64, train)
         out = Up(128, 64, 1, self.elu, False, False, ss[1], ks[1],
                  self.dtype, name="UpTransition_2")(out, out32, train)

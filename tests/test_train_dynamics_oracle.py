@@ -1,0 +1,188 @@
+"""Training-dynamics alignment against a PyTorch oracle (round 2,
+VERDICT #2).
+
+The reference's reprod_log methodology diffs forward logits AND multi-
+iteration loss trajectories against a torch implementation (reference
+vnet.py:285-404). test_vnet_torch_parity covers the forward; here the
+*training* path is aligned: gradients at iteration 0, a 5-iteration
+SGD-momentum loss trajectory through our real jitted train step (train-
+mode BatchNorm, dropout off), and the BN running statistics after those
+steps. An optimizer- or BN-semantics bug that forward parity can't see
+fails these.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as tF  # noqa: E402
+
+from test_vnet_torch_parity import TVNet, _transplant  # noqa: E402
+
+from medicalseg_tpu.core.state import (TrainState,  # noqa: E402
+                                       make_train_step)
+from medicalseg_tpu.models import VNet  # noqa: E402
+from medicalseg_tpu.models.losses import (CrossEntropyLoss,  # noqa: E402
+                                          DiceLoss, MixedLoss)
+
+LR = 0.01
+MOMENTUM = 0.9
+N_CLASSES = 2
+SHAPE = (2, 16, 16, 16)  # batch 2 so BN batch stats are non-trivial
+
+
+def _torch_loss(logits_ncdhw, labels):
+    """Mirror of MixedLoss([CE(weight=[1,1]), Dice], [1, 1]) in torch."""
+    ce = tF.cross_entropy(logits_ncdhw, labels)
+    probs = torch.sigmoid(logits_ncdhw)
+    dices = []
+    for c in range(N_CLASSES):
+        p = probs[:, c]
+        m = (labels == c).float()
+        intersect = (p * m).sum()
+        denom = (p * p).sum() + m.sum()
+        dices.append(2 * intersect / torch.clamp(denom, min=1e-6))
+    dice_loss = 1.0 - torch.stack(dices).mean()
+    return ce + dice_loss
+
+
+@pytest.fixture()
+def aligned_pair():
+    """(flax state, torch model+optimizer, data) with identical weights.
+
+    Function-scoped on purpose: a train-mode torch forward updates
+    running BN stats, so tests must not share the torch module.
+    """
+    rng = np.random.RandomState(7)
+    images = rng.rand(*SHAPE, 1).astype(np.float32)
+    labels = rng.randint(0, N_CLASSES, SHAPE).astype(np.int32)
+
+    # dropout off: the oracle trajectory must be deterministic (the
+    # reference alignment harness does the same, vnet.py:285-404)
+    model = VNet(in_channels=1, num_classes=N_CLASSES, dropout=False)
+    import optax
+    tx = optax.sgd(LR, momentum=MOMENTUM)
+    state = TrainState.create(model, tx, jnp.asarray(images),
+                              jax.random.PRNGKey(3))
+
+    tmodel = TVNet(N_CLASSES).train()
+    _transplant(tmodel, jax.device_get(state.variables))
+    topt = torch.optim.SGD(tmodel.parameters(), lr=LR, momentum=MOMENTUM)
+    return state, tmodel, topt, images, labels
+
+
+def _flax_step_fn():
+    losses = {"types": [MixedLoss(
+        [CrossEntropyLoss(weight=[1.0] * N_CLASSES), DiceLoss()],
+        [1.0, 1.0])], "coef": [1]}
+    return jax.jit(make_train_step(losses))
+
+
+def _torch_step(tmodel, topt, images, labels):
+    topt.zero_grad()
+    x = torch.tensor(np.transpose(images, (0, 4, 1, 2, 3)))
+    out = tmodel(x)
+    loss = _torch_loss(out, torch.tensor(labels).long())
+    loss.backward()
+    return loss
+
+
+def test_gradients_match_torch(aligned_pair):
+    """Iteration-0 gradients of the full mixed loss agree elementwise
+    at representative leaves spanning stem, BN, PReLU, deconv, head."""
+    state, tmodel, topt, images, labels = aligned_pair
+
+    losses = {"types": [MixedLoss(
+        [CrossEntropyLoss(weight=[1.0] * N_CLASSES), DiceLoss()],
+        [1.0, 1.0])], "coef": [1]}
+
+    def loss_fn(params):
+        logits, _ = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            jnp.asarray(images), train=True, mutable=["batch_stats"])
+        from medicalseg_tpu.utils.loss_utils import loss_computation
+        ll, _ = loss_computation(logits, jnp.asarray(labels), losses)
+        return sum(ll)
+
+    our_loss, grads = jax.jit(
+        jax.value_and_grad(loss_fn))(state.params)
+    grads = jax.device_get(grads)
+
+    tloss = _torch_step(tmodel, topt, images, labels)
+    np.testing.assert_allclose(float(our_loss), float(tloss), rtol=2e-4)
+
+    def t2np(t):
+        return t.weight.grad.detach().numpy()
+
+    checks = [
+        # stem conv kernel: flax (kd,kh,kw,ci,co) vs torch (co,ci,...)
+        (grads["InputTransition_0"]["Conv_0"]["kernel"],
+         np.transpose(t2np(tmodel.in_tr.conv1), (2, 3, 4, 1, 0))),
+        # a mid BN scale + PReLU alpha
+        (grads["DownTransition_1"]["BatchNorm3D_0"]["scale"],
+         t2np(tmodel.down_tr64.bn1)),
+        (grads["UpTransition_2"]["Activation_0"]["PReLU_0"]["alpha"],
+         t2np(tmodel.up_tr64.relu1)),
+        # deconv kernel: torch (ci,co,kd,kh,kw), spatially flipped
+        (grads["UpTransition_3"]["ConvTranspose_0"]["kernel"],
+         np.transpose(t2np(tmodel.up_tr32.up_conv),
+                      (2, 3, 4, 0, 1))[::-1, ::-1, ::-1]),
+        # head conv
+        (grads["OutputTransition_0"]["Conv_0"]["kernel"],
+         np.transpose(t2np(tmodel.out_tr.conv2), (2, 3, 4, 1, 0))),
+    ]
+    for ours, theirs in checks:
+        np.testing.assert_allclose(np.asarray(ours), theirs,
+                                   atol=5e-4, rtol=5e-3)
+
+
+def test_five_iteration_loss_trajectory(aligned_pair):
+    """5 SGD-momentum steps through the REAL jitted train step track the
+    torch oracle to < 1e-3 relative at every iteration (reference
+    reprod_log's train_align stage)."""
+    state, tmodel, topt, images, labels = aligned_pair
+    # fresh torch optimizer state (the grad test above stepped nothing,
+    # but zero_grad/backward left .grad buffers — reset cleanly)
+    topt = torch.optim.SGD(tmodel.parameters(), lr=LR, momentum=MOMENTUM)
+
+    step = _flax_step_fn()
+    key = jax.random.PRNGKey(0)
+    ours, theirs = [], []
+    for it in range(5):
+        state, metrics = step(state, jnp.asarray(images),
+                              jnp.asarray(labels), key)
+        ours.append(float(metrics["loss"]))
+
+        tloss = _torch_step(tmodel, topt, images, labels)
+        topt.step()
+        theirs.append(float(tloss))
+
+    ours = np.asarray(ours)
+    theirs = np.asarray(theirs)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3)
+    # the trajectory must actually descend (a frozen model would "match")
+    assert ours[-1] < ours[0]
+
+    # BN running statistics after 5 train steps (eval-mode parity): ours
+    # uses the biased batch var (paddle semantics); torch corrects by
+    # n/(n-1) — indistinguishable at n=2*16^3 voxels per channel.
+    # tolerances: the 1e-3-rel per-step trajectory drift compounds into
+    # the stats (measured ~2e-3 abs after 5 steps)
+    s = jax.device_get(state.batch_stats)
+    np.testing.assert_allclose(
+        s["InputTransition_0"]["BatchNorm3D_0"]["mean"],
+        tmodel.in_tr.bn1.running_mean.detach().numpy(),
+        atol=5e-3, rtol=2e-2)
+    # running VARIANCE semantics differ by framework: ours accumulates
+    # the biased batch var (paddle's BatchNorm, which the reference
+    # trains with); torch accumulates the unbiased one (x n/(n-1)).
+    # Compare at the stem where n = batch*16^3 = 8192 samples/channel
+    # makes the correction negligible and the statistic stable (deep
+    # stages have n=16 samples — their var is hypersensitive to the
+    # allowed 1e-3 trajectory drift).
+    np.testing.assert_allclose(
+        s["InputTransition_0"]["BatchNorm3D_0"]["var"],
+        tmodel.in_tr.bn1.running_var.detach().numpy(),
+        atol=5e-3, rtol=2e-2)

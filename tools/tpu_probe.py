@@ -1,0 +1,187 @@
+# Copyright 2026. Apache License 2.0.
+"""One-off TPU measurement probes (host->device bandwidth, train-step
+profile, Pallas conv5 kernels). Run manually on the TPU box:
+
+    python tools/tpu_probe.py h2d | train_profile | pallas | all
+
+Findings feed documentation/benchmarks.md; bench.py carries the
+reproducible numbers.
+"""
+import gzip
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def _sync(x):
+    import jax
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return np.asarray(leaf).ravel()[0]
+
+
+def probe_h2d():
+    """Tunnel host->device throughput: f32 vs int16, serial vs batched."""
+    import jax
+    import jax.numpy as jnp
+
+    shape = (200, 512, 512)
+    rng = np.random.RandomState(0)
+    f32s = [rng.uniform(-1200, 600, shape).astype(np.float32)
+            for _ in range(3)]
+    i16s = [a.astype(np.int16) for a in f32s]
+
+    for name, arrs in (("f32 210MB", f32s), ("int16 105MB", i16s)):
+        # warmup one
+        _sync(jax.device_put(arrs[0]))
+        t0 = time.time()
+        for a in arrs:
+            x = jax.device_put(a)
+        _sync(x)
+        dt = (time.time() - t0) / len(arrs)
+        mb = arrs[0].nbytes / 1e6
+        print("h2d {}: {:.2f} s/vol = {:.0f} MB/s".format(
+            name, dt, mb / dt))
+
+    # concurrency: enqueue 3 puts before fencing
+    t0 = time.time()
+    xs = [jax.device_put(a) for a in f32s]
+    for x in xs:
+        _sync(x)
+    dt = time.time() - t0
+    print("h2d f32 x3 concurrent: {:.2f} s total = {:.0f} MB/s agg".format(
+        dt, 3 * f32s[0].nbytes / 1e6 / dt))
+
+
+def probe_train_profile(steps=3):
+    """jax.profiler trace of the (cached) 128^3 train step; prints the
+    top device ops from the trace."""
+    import glob
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from medicalseg_tpu.core.state import TrainState, make_train_step
+    from medicalseg_tpu.models import VNet
+    from medicalseg_tpu.models.losses import (CrossEntropyLoss, DiceLoss,
+                                              MixedLoss)
+    from medicalseg_tpu.transforms import (DeviceAugmentor, RandomFlip3D,
+                                           RandomResizedCrop3D)
+
+    batch = 2
+    model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
+                 remat=True)
+    losses = {"types": [MixedLoss([CrossEntropyLoss(), DiceLoss()],
+                                  [1.0, 1.0])], "coef": [1]}
+    tx = optax.chain(optax.add_decayed_weights(1e-4),
+                     optax.sgd(optax.polynomial_schedule(1e-3, 0, 0.9,
+                                                         15000),
+                               momentum=0.9))
+    aug = DeviceAugmentor([RandomResizedCrop3D(size=128, scale=(0.8, 1.2)),
+                           RandomFlip3D()])
+    step = jax.jit(make_train_step(losses, augment_fn=aug._augment_batch),
+                   donate_argnums=(0,))
+    state = TrainState.create(
+        model, tx, jnp.zeros((batch, 128, 128, 128, 1)),
+        jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, 128, 128, 128).astype(np.float32))
+    labels = jnp.asarray(
+        rng.randint(0, 3, (batch, 128, 128, 128)).astype(np.int32))
+    key = jax.random.PRNGKey(1)
+
+    state, m = step(state, images, labels, key)
+    _sync(m["loss"])
+    t0 = time.time()
+    for _ in range(3):
+        state, m = step(state, images, labels, key)
+    _sync(m["loss"])
+    print("train step wall: {:.0f} ms".format((time.time() - t0) / 3 * 1e3))
+
+    outdir = "/tmp/train_trace"
+    with jax.profiler.trace(outdir):
+        for _ in range(steps):
+            state, m = step(state, images, labels, key)
+        _sync(m["loss"])
+
+    traces = sorted(glob.glob(
+        outdir + "/**/*.trace.json.gz", recursive=True))
+    if not traces:
+        print("no trace written"); return
+    with gzip.open(traces[-1], "rt") as f:
+        events = json.load(f).get("traceEvents", [])
+    totals = {}
+    for e in events:
+        if e.get("ph") == "X" and "dur" in e:
+            name = e.get("name", "?")
+            # keep device-side XLA ops only (heuristic: fusion/conv/copy)
+            totals[name] = totals.get(name, 0) + e["dur"]
+    top = sorted(totals.items(), key=lambda kv: -kv[1])[:40]
+    for name, dur in top:
+        print("{:>12.2f} ms  {}".format(dur / 1e3 / steps, name[:110]))
+
+
+def probe_pallas(iters=20):
+    """Real-TPU numerics + timing of the conv5 Pallas kernels at VNet's
+    hot shapes, against the XLA conv they replace."""
+    import jax
+    import jax.numpy as jnp
+
+    from medicalseg_tpu.ops import pallas_conv5 as pc
+
+    rng = np.random.RandomState(0)
+
+    def run(tag, n, d, h, w, ci, co, kind):
+        x = jnp.asarray(rng.randn(n, d, h, w, ci).astype(np.float32))
+        k = jnp.asarray((rng.randn(5, 5, 5, ci, co) /
+                         np.sqrt(125 * ci)).astype(np.float32))
+        b = jnp.asarray(rng.randn(co).astype(np.float32))
+
+        f_pal = jax.jit(lambda x, k, b: pc.conv5(x, k, b, kind, False))
+        f_xla = jax.jit(pc._conv5_xla)
+
+        got = f_pal(x, k, b)
+        ref = f_xla(x, k, b)
+        err = float(jnp.max(jnp.abs(got - ref)) /
+                    jnp.maximum(jnp.max(jnp.abs(ref)), 1e-6))
+        outs = []
+        for name, f in (("pallas", f_pal), ("xla", f_xla)):
+            _sync(f(x, k, b))
+            t0 = time.time()
+            for _ in range(iters):
+                o = f(x, k, b)
+            _sync(o)
+            outs.append((time.time() - t0) / iters * 1e3)
+        print("{}: pallas {:.2f} ms vs xla {:.2f} ms ({:.1f}x), "
+              "rel err {:.2e}".format(tag, outs[0], outs[1],
+                                      outs[1] / outs[0], err))
+
+    run("head 128^3 ci32->co3", 1, 128, 128, 128, 32, 3, "head")
+    run("stem 128^3 ci1->co16", 1, 128, 128, 128, 1, 16, "stem")
+    run("head b2", 2, 128, 128, 128, 32, 3, "head")
+
+
+def main():
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    print("backend:", jax.devices()[0].platform)
+    if which in ("h2d", "all"):
+        probe_h2d()
+    if which in ("pallas", "all"):
+        probe_pallas()
+    if which in ("train_profile", "all"):
+        probe_train_profile()
+
+
+if __name__ == "__main__":
+    main()
