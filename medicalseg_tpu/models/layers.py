@@ -130,10 +130,48 @@ class LanePaddedConv(nn.Module):
         return out + bias.astype(self.dtype)
 
 
+class PallasConv5(nn.Module):
+    """5^3 SAME conv through the Pallas MXU kernels (ops/pallas_conv5).
+
+    Falls back to the stock XLA conv when the traced shape is not
+    eligible (W not lane-aligned, channels too wide, ...), so it is
+    always safe to enable. Param names match nn.Conv (kernel/bias) for
+    checkpoint compatibility. ``kind`` selects the head (general C_in,
+    narrow C_out) or stem (C_in=1) kernel. The custom VJP routes the
+    backward through the XLA conv's VJP — training numerics match the
+    default path.
+    """
+    features: int
+    kind: str = "head"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops import pallas_conv5 as pc
+
+        ci = x.shape[-1]
+        kern = self.param("kernel", nn.initializers.he_normal(),
+                          (5, 5, 5, ci, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        x = x.astype(self.dtype)
+        kern = kern.astype(self.dtype)
+        eligible = (pc.stem_eligible if self.kind == "stem" else
+                    pc.head_eligible)(x.shape, ci, self.features,
+                                      dtype=x.dtype)
+        if not eligible:
+            return pc._conv5_xla(x, kern, bias.astype(self.dtype))
+        # Mosaic compile on TPU, interpreter everywhere else (CPU tests)
+        interpret = jax.default_backend() != "tpu"
+        return pc.conv5(x, kern, bias, self.kind, interpret)
+
+
 class ConvBNAct(nn.Module):
     """Conv3D + BatchNorm + activation (reference LUConv, vnet.py:32-43).
 
-    ``lane_pad`` switches to LanePaddedConv for narrow-output heads.
+    ``lane_pad`` switches the conv implementation for narrow-output
+    heads: True -> LanePaddedConv (MXU zero-pad), 'narrow' -> the
+    reassociated XLA matmul form, 'pallas' -> the Pallas MXU kernel.
     """
     features: int
     kernel_size: Tuple[int, int, int] = (5, 5, 5)
@@ -141,11 +179,16 @@ class ConvBNAct(nn.Module):
     padding: Any = "SAME"
     elu: bool = False
     dtype: Any = jnp.float32
-    lane_pad: Any = False  # False | True (MXU pad) | 'narrow'
+    lane_pad: Any = False  # False | True (MXU pad) | 'narrow' | 'pallas'
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        if self.lane_pad == "narrow" and self.features < 16:
+        if (self.lane_pad == "pallas" and self.features <= 24 and
+                tuple(self.kernel_size) == (5, 5, 5) and
+                tuple(self.strides) == (1, 1, 1)):
+            x = PallasConv5(self.features, kind="head", dtype=self.dtype,
+                            name="Conv_0")(x)
+        elif self.lane_pad == "narrow" and self.features < 16:
             from ..ops.narrow_conv import narrow_conv3d_same
 
             # named child scope with nn.Conv-compatible params

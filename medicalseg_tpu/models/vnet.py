@@ -33,12 +33,18 @@ class InputTransition(nn.Module):
     elu: bool = False
     dtype: Any = jnp.float32
     num_features: int = 16
+    stem_conv: str = "default"  # 'default' | 'pallas'
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        out = nn.Conv(self.num_features, (5, 5, 5), padding="SAME",
-                      dtype=self.dtype,
-                      kernel_init=nn.initializers.he_normal())(x)
+        if self.stem_conv == "pallas" and self.in_channels == 1:
+            from .layers import PallasConv5
+            out = PallasConv5(self.num_features, kind="stem",
+                              dtype=self.dtype, name="Conv_0")(x)
+        else:
+            out = nn.Conv(self.num_features, (5, 5, 5), padding="SAME",
+                          dtype=self.dtype,
+                          kernel_init=nn.initializers.he_normal())(x)
         out = BatchNorm3D(dtype=self.dtype)(out, train)
         repeat = self.num_features // self.in_channels
         x_tile = jnp.tile(x, (1, 1, 1, 1, repeat)).astype(self.dtype)
@@ -132,7 +138,7 @@ class OutputTransition(nn.Module):
         # it as (kh,kw,c)-row matmuls + shifted accumulations
         # (ops/narrow_conv.py); 'lane_pad' zero-pads onto the MXU.
         lane_pad = {"default": False, "lane_pad": True,
-                    "narrow": "narrow"}[self.head_conv]
+                    "narrow": "narrow", "pallas": "pallas"}[self.head_conv]
         out = ConvBNAct(self.num_classes, (5, 5, 5), elu=self.elu,
                         dtype=self.dtype, lane_pad=lane_pad)(x, train)
         out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
@@ -159,8 +165,9 @@ class VNet(nn.Module):
         (2, 2, 2), (2, 2, 2), (2, 2, 2), (2, 2, 2))
     dtype: Any = jnp.float32
     remat: bool = False  # per-block rematerialization (HBM <-> FLOPs)
-    head_conv: str = "default"  # 'default'|'narrow'|'lane_pad' (see
-    # OutputTransition)
+    head_conv: str = "default"  # 'default'|'narrow'|'lane_pad'|'pallas'
+    # — 'pallas' also switches the InputTransition stem to the Pallas
+    # kernel (see OutputTransition / layers.PallasConv5)
     dropout: bool = True  # False disables the mid-stage ChannelDropouts
     # (the reference's torch-alignment harness runs with dropout off,
     # reference vnet.py:285-404)
@@ -182,7 +189,8 @@ class VNet(nn.Module):
                                        UpTransition, OutputTransition)
         # explicit names keep the parameter tree identical whether or not
         # the lifted remat wrapper is applied (checkpoint compatibility)
-        out16 = Input(self.in_channels, self.elu, self.dtype,
+        stem = "pallas" if self.head_conv == "pallas" else "default"
+        out16 = Input(self.in_channels, self.elu, self.dtype, 16, stem,
                       name="InputTransition_0")(x, train)
         out32 = Down(16, 1, self.elu, False, ss[0], ks[0], self.dtype,
                      name="DownTransition_0")(out16, train)

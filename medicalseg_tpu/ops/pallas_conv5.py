@@ -7,22 +7,45 @@ C_out=num_classes~3, reference vnet.py:159-175) and the InputTransition
 stem (C_in=1 -> 16, reference vnet.py:57-79). XLA lowers these to VPU
 loops (47 ms resp. 20 ms of an ~85 ms forward at 128^3, round-1
 profile); both XLA-level reformulations tried in round 1 (lane padding,
-reassociated matmuls) lost to HBM traffic. These kernels keep every
-partial in VMEM and put the work on the MXU:
+reassociated matmuls) lost to HBM traffic.
 
-* ``conv5_head`` (general C_in, tiny C_out) — factored formulation:
-  unroll the W-axis taps into the contraction, so each spatial tile does
-  ONE (V, 5*Ci) @ (5*Ci, 25*Co) matmul producing per-(kd,kh)-tap
-  partials, then accumulates the 25 partials with static (kd, kh) tile
-  shifts — all VMEM-resident. MXU work per voxel: 5Ci x 25Co (vs the
-  im2col alternative's 125Ci x 128-padded-Co).
-* ``conv5_stem`` (C_in=1) — full-tap im2col: build (V, 125) rows with
-  static shifted slices, one (V, 125) @ (125, Co) matmul. No halo
-  recompute (all taps live in the contraction).
+Kernel design (third iteration — see hardware findings below): voxels on
+the 128-wide lanes, channels on sublanes, and ALL 125 taps folded into a
+single MXU contraction per (n, d, h-chunk) program:
 
-Both are exposed through :func:`conv5` with a custom VJP whose backward
-is the XLA conv's VJP (identical numerics to autodiff of the stock
-conv), so the kernels drop into training unchanged.
+* Host-side prep reshapes the NDHWC input to
+  ``[N, D+4, Ci', 128 + (H+4)*W + 128]`` — spatial (h, w) flattened onto
+  the minor (lane) axis with one zero margin tile on each side. Every
+  manual HBM->VMEM DMA then slices only untiled dims (N, D) and
+  128-aligned lane ranges, satisfying Mosaic's tiling rules.
+* The matmul is ``[(kh, kw, co), (kd, ci)] @ [(kd, ci), voxel]`` — the
+  RHS is the DMA'd slab itself (a free reshape), M carries the 25
+  in-plane taps, K carries the 5 depth taps x channels. Same FLOPs as
+  the direct conv per output row-block, but fewer MXU passes than a
+  kw-in-K layout and zero VPU tap-matrix construction.
+* The (kh, kw) tap partials land in distinct accumulator rows and are
+  folded by static lane-offset slices (offset kh*W + kw + 126) with the
+  SAME-padding mask applied per kw at fold time. The accumulator is
+  f32, where Mosaic's lane rotates are supported.
+* The stem (C_in=1) pre-shifts BOTH its kd and kw taps into input
+  channels host-side (25 shifted copies of the single-channel volume,
+  zero-padded SAME) and reuses the same kernel with KD=1 and a
+  mask-free kh-only fold.
+
+Hardware findings that shaped this (probed on v5e via the remote
+compiler):
+* Mosaic rejects HBM->VMEM DMA slices whose minor dim is not 128-lane
+  aligned ("Slice shape along dimension 4 must be aligned to tiling
+  (128)") — a channels-minor slab layout is unusable for C=32.
+* ``pltpu.roll`` lowers to ``tpu.dynamic_rotate``: unimplemented for
+  bf16 ("Rotate with non-32-bit data"), shift must be >= 0, and an
+  ``s % lc`` rotate of ~8700 lanes measured 6-100x slower than the
+  kernel math — so this design needs no vector rotates at all on the
+  low-precision side.
+
+Both kernels are exposed through :func:`conv5` with a custom VJP whose
+backward is the XLA conv's VJP (identical numerics to autodiff of the
+stock conv), so they drop into training unchanged.
 
 Layout: NDHWC, SAME padding, stride 1, kernel 5^3 — exactly the shapes
 VNet uses. Anything else falls back to XLA (`_conv5_xla`).
@@ -31,8 +54,6 @@ VNet uses. Anything else falls back to XLA (`_conv5_xla`).
 import functools
 from typing import Tuple
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -40,6 +61,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 K = 5  # kernel edge
 P = K // 2  # halo
+MARGIN = 128  # zero lane-tile on each side of the flattened spatial axis
 
 
 # ----------------------------------------------------------------------
@@ -54,196 +76,390 @@ def _conv5_xla(x, w, b):
 
 
 # ----------------------------------------------------------------------
-# tile selection
+# tile selection / eligibility
 # ----------------------------------------------------------------------
-def _pick_tiles(d, h, w, ci, bytes_budget=10 * 1024 * 1024):
-    """(Dt, Ht) spatial tile so the slab + unrolled rows + partials fit
-    VMEM. Returns None if no admissible tile exists."""
-    for dt, ht in ((8, 16), (8, 8), (4, 8), (4, 4), (2, 4), (2, 2),
-                   (1, 2), (1, 1)):
-        if d % dt or h % ht:
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def _sublane(dtype) -> int:
+    return 16 if jnp.dtype(dtype).itemsize == 2 else 8
+
+
+def _pick_hc(h, w, ci_p, co_p, kd_n, itemsize, fold_kw,
+             budget=11 * 1024 * 1024):
+    """Largest h-chunk whose slab + accumulator fit VMEM."""
+    m = (K * K if fold_kw else K) * co_p
+    for hc in (64, 32, 16, 8, 4, 2, 1):
+        if h % hc:
             continue
-        slab = (dt + 4) * (ht + 4) * (w + 4) * max(ci, 8) * 2  # bf16
-        rows = (dt + 4) * (ht + 4) * w * 5 * ci * 2            # bf16
-        part = (dt + 4) * (ht + 4) * w * 128 * 4               # f32 (padded)
-        if slab + rows + part <= bytes_budget:
-            return dt, ht
+        lc = (hc + 4) * w + 2 * MARGIN
+        slab = kd_n * ci_p * lc * itemsize
+        acc = m * lc * 4
+        res = co_p * hc * w * 4
+        out = co_p * hc * w * itemsize * 2  # double-buffered out block
+        if slab + acc + res + out <= budget:
+            return hc
     return None
 
 
-def head_eligible(x_shape: Tuple[int, ...], ci: int, co: int) -> bool:
+def _head_ok(x_shape, ci, co, dtype, co_cap):
     d, h, w = x_shape[1:4]
-    return (co <= 8 and ci <= 64 and w % 128 == 0 and
-            _pick_tiles(d, h, w, ci) is not None)
+    ci_p = _round_up(ci, _sublane(dtype))
+    co_p = _round_up(co, 8)
+    return (co <= co_cap and ci <= 64 and w % 128 == 0 and
+            _pick_hc(h, w, ci_p, co_p, K, jnp.dtype(dtype).itemsize,
+                     True) is not None)
 
 
-def stem_eligible(x_shape: Tuple[int, ...], ci: int, co: int) -> bool:
+def head_eligible(x_shape: Tuple[int, ...], ci: int, co: int,
+                  dtype=jnp.float32) -> bool:
+    return _head_ok(x_shape, ci, co, dtype, 16)
+
+
+def stem_eligible(x_shape: Tuple[int, ...], ci: int, co: int,
+                  dtype=jnp.float32) -> bool:
     d, h, w = x_shape[1:4]
-    return (ci == 1 and co <= 128 and w % 128 == 0 and
-            _pick_tiles(d, h, w, 8) is not None)
+    ci_p = _round_up(K * K, _sublane(dtype))
+    co_p = _round_up(co, 8)
+    return (ci == 1 and co <= 24 and w % 128 == 0 and
+            _pick_hc(h, w, ci_p, co_p, 1, jnp.dtype(dtype).itemsize,
+                     False) is not None)
 
 
 # ----------------------------------------------------------------------
-# head kernel: general C_in, tiny C_out
+# the unified kernel
 # ----------------------------------------------------------------------
-def _head_kernel(xp_ref, wmed_ref, b_ref, out_ref, slab, acc,
-                 *, dt, ht, w, ci, co):
-    """One (n, d-tile, h-tile) program.
+def _conv5_kernel(xt_ref, lhs_ref, b_ref, out_ref, slab, sem,
+                  *, kd_n, ci_p, co_p, hc, w, lc, fold_kw):
+    """One (n, d, h-chunk) program.
 
-    xp_ref: HBM [N, D+4, H+4, W+4, Ci] (padded input)
-    wmed_ref: VMEM [5*Ci, 25*Co] (kw,ci -> (kd,kh),co rearranged weights)
-    b_ref: VMEM [Co]
-    out_ref: VMEM block [1, Dt, Ht, W, Co]
-    slab: VMEM scratch [Dt+4, Ht+4, W+4, Ci]
-    acc: VMEM scratch f32 [Dt+4, Ht+4, W, 25*Co] (tap partials)
+    xt_ref: HBM [N, D', Ci', M + (H+4)*W + M]  (D' = D+4 for the head,
+        D for the stem whose kd/kw taps live in the channels)
+    lhs_ref: VMEM [(25 if fold_kw else 5)*Co', KD*Ci']
+    b_ref: VMEM [Co', 1]
+    out_ref: VMEM block [1, 1, Co', hc*W]
+    slab: VMEM scratch [KD, Ci', lc]; slab column c holds flattened
+        spatial position (hi*hc*W + c - MARGIN) of the (H+4)-padded
+        volume, so output voxel q sits at column q + MARGIN.
     """
     n = pl.program_id(0)
-    di = pl.program_id(1)
+    d = pl.program_id(1)
     hi = pl.program_id(2)
 
-    def run(sem):
-        copy = pltpu.make_async_copy(
-            xp_ref.at[n, pl.ds(di * dt, dt + 4), pl.ds(hi * ht, ht + 4)],
-            slab, sem)
-        copy.start()
-        copy.wait()
+    copy = pltpu.make_async_copy(
+        xt_ref.at[n, pl.ds(d, kd_n), :, pl.ds(hi * hc * w, lc)],
+        slab, sem)
+    copy.start()
+    copy.wait()
 
-    pl.run_scoped(run, pltpu.SemaphoreType.DMA(()))
-
-    # W-axis unroll: rows[..., kw*Ci:(kw+1)*Ci] = slab[:, :, kw:kw+W, :]
-    rows = jnp.concatenate(
-        [slab[:, :, kw:kw + w, :] for kw in range(K)],
-        axis=-1).astype(jnp.bfloat16)  # [Dt+4, Ht+4, W, 5*Ci]
-
-    # one MXU matmul per tile: every (kd, kh) tap's partial at once
-    acc[:] = jax.lax.dot_general(
-        rows.reshape(-1, K * ci), wmed_ref[:].astype(jnp.bfloat16),
+    # the RHS is the slab itself: rows (kd, ci), columns voxels
+    acc = jax.lax.dot_general(
+        lhs_ref[:], slab[:].reshape(kd_n * ci_p, lc),
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(dt + 4, ht + 4, w, 25 * co)
+        preferred_element_type=jnp.float32)  # [(kh[,kw],co'), lc]
 
-    # accumulate the 25 tap partials with static tile shifts
-    out = jnp.zeros((dt, ht, w, co), jnp.float32)
-    for kd in range(K):
+    # fold tap partials: output voxel q (row qh, col qw of the chunk)
+    # takes tap (kh, kw) from acc row-block (kh, kw) at column
+    # q + MARGIN + kh*W + (kw - 2); the slice crosses an image-row
+    # boundary exactly where the SAME mask zeroes the tap. All slices
+    # are on the f32 accumulator (32-bit lane rotates are supported).
+    res = jnp.zeros((co_p, hc * w), jnp.float32)
+    if fold_kw:
+        qw = jax.lax.broadcasted_iota(jnp.int32, (co_p, hc * w), 1) % w
         for kh in range(K):
-            t = kd * K + kh
-            out = out + acc[kd:kd + dt, kh:kh + ht, :,
-                            t * co:(t + 1) * co]
-    out_ref[0] = (out + b_ref[:].astype(jnp.float32)).astype(
+            for kw in range(K):
+                m0 = (kh * K + kw) * co_p
+                off = kh * w + kw + MARGIN - P
+                sl = acc[m0:m0 + co_p, off:off + hc * w]
+                if kw != P:
+                    mask = jnp.logical_and(qw >= P - kw, qw < w + P - kw)
+                    sl = jnp.where(mask, sl, 0.0)
+                res = res + sl
+    else:
+        for kh in range(K):
+            m0 = kh * co_p
+            off = kh * w + MARGIN
+            res = res + acc[m0:m0 + co_p, off:off + hc * w]
+    out_ref[0, 0] = (res + b_ref[:].astype(jnp.float32)).astype(
         out_ref.dtype)
 
 
-def _conv5_head_pallas(x, w, b, *, interpret=False):
-    n, d, h, ww, ci = x.shape
-    co = w.shape[-1]
-    tiles = _pick_tiles(d, h, ww, ci)
-    dt, ht = tiles
-    xp = jnp.pad(x, ((0, 0), (P, P), (P, P), (P, P), (0, 0)))
-
-    # rearrange (kd,kh,kw,ci,co) -> [kw*ci, (kd*5+kh)*co]
-    wmed = jnp.transpose(w, (2, 3, 0, 1, 4)).reshape(K * ci, 25 * co)
-
-    grid = (n, d // dt, h // ht)
-    kernel = functools.partial(_head_kernel, dt=dt, ht=ht, w=ww, ci=ci,
-                               co=co)
-    flops = 2 * n * d * h * ww * (K * ci) * (25 * co) * (
-        (dt + 4) * (ht + 4)) // (dt * ht)
+def _run_conv5(xt, lhs, bias, *, n, d_out, h, w, kd_n, ci_p, co_p,
+               dtype, fold_kw, interpret):
+    hc = _pick_hc(h, w, ci_p, co_p, kd_n, jnp.dtype(dtype).itemsize,
+                  fold_kw)
+    lc = (hc + 4) * w + 2 * MARGIN
+    grid = (n, d_out, h // hc)
+    kernel = functools.partial(
+        _conv5_kernel, kd_n=kd_n, ci_p=ci_p, co_p=co_p, hc=hc, w=w,
+        lc=lc, fold_kw=fold_kw)
+    m = (K * K if fold_kw else K) * co_p
+    flops = 2 * m * (kd_n * ci_p) * lc * n * d_out * (h // hc)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # xp stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # xt stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, dt, ht, ww, co),
-            lambda ni, di, hi: (ni, di, hi, 0, 0),
+            (1, 1, co_p, hc * w),
+            lambda ni, di, hi: (ni, di, 0, hi),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, d, h, ww, co), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, d_out, co_p, h * w), dtype),
         scratch_shapes=[
-            pltpu.VMEM((dt + 4, ht + 4, ww + 4, ci), x.dtype),
-            pltpu.VMEM((dt + 4, ht + 4, ww, 25 * co), jnp.float32),
+            pltpu.VMEM((kd_n, ci_p, lc), dtype),
+            pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=xp.size * xp.dtype.itemsize,
+            flops=flops,
+            bytes_accessed=xt.size * xt.dtype.itemsize * kd_n,
             transcendentals=0),
         interpret=interpret,
-    )(xp, wmed, b)
+    )(xt, lhs, bias)
+
+
+def _finish(out, n, d, h, w, co):
+    # [N, D, Co', H*W] -> NDHWC
+    out = out.reshape(n, d, -1, h, w)
+    return jnp.transpose(out, (0, 1, 3, 4, 2))[..., :co]
+
+
+def _pad_flat(xt):
+    return jnp.pad(xt, ((0, 0),) * (xt.ndim - 1) + ((MARGIN, MARGIN),))
 
 
 # ----------------------------------------------------------------------
-# stem kernel: C_in = 1
+# head: general C_in, small C_out
 # ----------------------------------------------------------------------
-def _stem_kernel(xp_ref, wflat_ref, b_ref, out_ref, slab,
-                 *, dt, ht, w, co):
-    """xp_ref: HBM [N, D+4, H+4, W+4]; wflat: VMEM [125, Co]."""
-    n = pl.program_id(0)
-    di = pl.program_id(1)
-    hi = pl.program_id(2)
+def _conv5_head_pallas(x, w, b, *, interpret=False):
+    n, d, h, ww, ci = x.shape
+    co = w.shape[-1]
+    dt = x.dtype
+    ci_p = _round_up(ci, _sublane(dt))
+    co_p = _round_up(co, 8)
 
-    def run(sem):
-        copy = pltpu.make_async_copy(
-            xp_ref.at[n, pl.ds(di * dt, dt + 4), pl.ds(hi * ht, ht + 4)],
-            slab, sem)
-        copy.start()
-        copy.wait()
+    # [N, D, H, W, Ci] -> [N, D+4, Ci', M + (H+4)*W + M]
+    xt = jnp.transpose(x, (0, 1, 4, 2, 3))
+    xt = jnp.pad(xt, ((0, 0), (P, P), (0, ci_p - ci), (P, P), (0, 0)))
+    xt = _pad_flat(xt.reshape(n, d + 2 * P, ci_p, (h + 2 * P) * ww))
 
-    pl.run_scoped(run, pltpu.SemaphoreType.DMA(()))
+    # weights: [5,5,5,Ci,Co] -> rows (kh, kw, co), cols (kd, ci)
+    wt = jnp.transpose(w, (1, 2, 4, 0, 3))  # [kh, kw, co, kd, ci]
+    wt = jnp.pad(wt, ((0, 0), (0, 0), (0, co_p - co), (0, 0),
+                      (0, ci_p - ci)))
+    lhs = wt.reshape(K * K * co_p, K * ci_p).astype(dt)
+    bias = jnp.pad(b, (0, co_p - co)).astype(jnp.float32).reshape(co_p, 1)
 
-    # full-tap im2col: rows[..., kd*25+kh*5+kw] = shifted slab
-    cols = []
-    for kd in range(K):
-        for kh in range(K):
-            for kw in range(K):
-                cols.append(slab[kd:kd + dt, kh:kh + ht, kw:kw + w])
-    rows = jnp.stack(cols, axis=-1).astype(jnp.bfloat16)  # [Dt,Ht,W,125]
-
-    out = jax.lax.dot_general(
-        rows.reshape(-1, K ** 3), wflat_ref[:].astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(dt, ht, w, -1)
-    out_ref[0] = (out + b_ref[:].astype(jnp.float32)).astype(
-        out_ref.dtype)
+    out = _run_conv5(xt, lhs, bias, n=n, d_out=d, h=h, w=ww, kd_n=K,
+                     ci_p=ci_p, co_p=co_p, dtype=dt, fold_kw=True,
+                     interpret=interpret)
+    return _finish(out, n, d, h, ww, co)
 
 
+# ----------------------------------------------------------------------
+# stem: C_in = 1 — kd AND kw taps folded into pre-shifted channels
+# ----------------------------------------------------------------------
 def _conv5_stem_pallas(x, w, b, *, interpret=False):
     n, d, h, ww, ci = x.shape
     assert ci == 1
     co = w.shape[-1]
-    dt, ht = _pick_tiles(d, h, ww, 8)
-    xp = jnp.pad(x[..., 0], ((0, 0), (P, P), (P, P), (P, P)))
-    wflat = w.reshape(K ** 3, co)  # (kd,kh,kw,1,co) row-major == loop order
+    dt = x.dtype
+    ci_p = _round_up(K * K, _sublane(dt))
+    co_p = _round_up(co, 8)
 
-    grid = (n, d // dt, h // ht)
-    kernel = functools.partial(_stem_kernel, dt=dt, ht=ht, w=ww, co=co)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, dt, ht, ww, co),
-            lambda ni, di, hi: (ni, di, hi, 0, 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, d, h, ww, co), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((dt + 4, ht + 4, ww + 4), x.dtype),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n * d * h * ww * (K ** 3) * co,
-            bytes_accessed=xp.size * xp.dtype.itemsize,
-            transcendentals=0),
-        interpret=interpret,
-    )(xp, wflat, b)
+    # channel (kd*5 + kw) of xt holds x shifted by (kd-2, kw-2) along
+    # (D, W), zero-padded SAME: the kernel contracts channels exactly
+    # like the head contracts (kd, ci) and needs no fold-time masks.
+    xp = jnp.pad(x[..., 0], ((0, 0), (P, P), (P, P), (P, P)))
+    chans = [xp[:, kd:kd + d, :, kw:kw + ww]
+             for kd in range(K) for kw in range(K)]
+    chans += [jnp.zeros_like(chans[0])] * (ci_p - K * K)
+    xt = jnp.stack(chans, axis=2)  # [N, D, Ci', H+4, W]
+    xt = _pad_flat(xt.reshape(n, d, ci_p, (h + 2 * P) * ww))
+
+    # weights: [5,5,5,1,Co] -> rows (kh, co), cols (kd*5 + kw)
+    wt = jnp.transpose(w[..., 0, :], (1, 3, 0, 2))  # [kh, co, kd, kw]
+    wt = wt.reshape(K, co, K * K)
+    wt = jnp.pad(wt, ((0, 0), (0, co_p - co), (0, ci_p - K * K)))
+    lhs = wt.reshape(K * co_p, ci_p).astype(dt)
+    bias = jnp.pad(b, (0, co_p - co)).astype(jnp.float32).reshape(co_p, 1)
+
+    out = _run_conv5(xt, lhs, bias, n=n, d_out=d, h=h, w=ww, kd_n=1,
+                     ci_p=ci_p, co_p=co_p, dtype=dt, fold_kw=False,
+                     interpret=interpret)
+    return _finish(out, n, d, h, ww, co)
 
 
 # ----------------------------------------------------------------------
-# public op with XLA-vjp backward
+# weight-gradient kernel
+# ----------------------------------------------------------------------
+def _wgrad_kernel(xt_ref, ge_ref, out_ref, slab, gbuf, sems,
+                  *, kd_n, ci_p, mg, grp, hc, w, lc):
+    """Accumulates dw[(x-tap, ci), (g-tap, co)] over all voxels.
+
+    xt_ref: the forward's input layout [N, D', Ci', M + (H+4)*W + M]
+    ge_ref: HBM [N, D, Mg, M + (H+4)*W + M] — the incoming gradient
+        pre-shifted per g-tap host-side ((kh, kw, co) rows for the head,
+        (kh, co) for the stem), on the same padded flat grid as x.
+    out_ref: VMEM [KD*Ci', Mg] f32, revisited by every program (constant
+        index map) and accumulated in place.
+    grp: rows per kh group in ge (K*co for the head, co for the stem).
+
+    Each program owns output rows [hi*hc, hi*hc + hc); a tap-kh row of
+    ge inside this window can belong to a neighbouring chunk, so the
+    per-kh lane mask keeps only g rows rw - kh in [0, hc) (rw = local
+    padded row of the lane).
+    """
+    n = pl.program_id(0)
+    d = pl.program_id(1)
+    hi = pl.program_id(2)
+
+    cx = pltpu.make_async_copy(
+        xt_ref.at[n, pl.ds(d, kd_n), :, pl.ds(hi * hc * w, lc)],
+        slab, sems.at[0])
+    cg = pltpu.make_async_copy(
+        ge_ref.at[n, d, :, pl.ds(hi * hc * w, lc)], gbuf, sems.at[1])
+    cx.start()
+    cg.start()
+    cx.wait()
+    cg.wait()
+
+    # local padded row of each lane (front margin lanes -> rw = -1)
+    rw = (jax.lax.broadcasted_iota(jnp.int32, (mg, lc), 1) - MARGIN) // w
+    kh_of_row = (jax.lax.broadcasted_iota(jnp.int32, (mg, lc), 0)
+                 // grp)
+    mask = jnp.logical_and(rw >= kh_of_row, rw < kh_of_row + hc)
+    gm = jnp.where(mask, gbuf[:], 0).astype(gbuf.dtype)
+
+    partial = jax.lax.dot_general(
+        slab[:].reshape(kd_n * ci_p, lc), gm,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [KD*Ci', Mg]
+
+    first = jnp.logical_and(
+        jnp.logical_and(n == 0, d == 0), hi == 0)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] = out_ref[:] + partial
+
+
+def _pick_hc_wgrad(h, w, ci_p, mg, kd_n, itemsize,
+                   budget=11 * 1024 * 1024):
+    for hc in (64, 32, 16, 8, 4, 2, 1):
+        if h % hc:
+            continue
+        lc = (hc + 4) * w + 2 * MARGIN
+        if (kd_n * ci_p * lc * itemsize + 2 * mg * lc * itemsize +
+                kd_n * ci_p * mg * 4) <= budget:
+            return hc
+    return None
+
+
+def _expand_g_head(g, co, mg, dt):
+    """ge rows (kh, kw, co): g shifted by (+kh rows, +(kw-2) cols) on the
+    (H+4)-padded flat grid, zeros outside — the kw SAME mask is realized
+    by the zero padding."""
+    n, d, h, w, _ = g.shape
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (P, P), (0, 0)))
+    chans = []
+    for kh in range(K):
+        for kw in range(K):
+            c = gp[:, :, :, 2 * P - kw:2 * P - kw + w, :]
+            c = jnp.pad(c, ((0, 0), (0, 0), (kh, 2 * P - kh), (0, 0),
+                            (0, 0)))
+            chans.append(c)  # [N, D, H+4, W, co]
+    ge = jnp.stack(chans, axis=2)  # [N, D, 25, H+4, W, co]
+    ge = jnp.transpose(ge, (0, 1, 2, 5, 3, 4)).reshape(
+        n, d, K * K * co, (h + 2 * P) * w)
+    ge = jnp.pad(ge, ((0, 0), (0, 0), (0, mg - K * K * co), (0, 0)))
+    return _pad_flat(ge).astype(dt)
+
+
+def _expand_g_stem(g, co, mg, dt):
+    """ge rows (kh, co): kw lives in the x channels for the stem."""
+    n, d, h, w, _ = g.shape
+    chans = [jnp.pad(g, ((0, 0), (0, 0), (kh, 2 * P - kh), (0, 0),
+                         (0, 0))) for kh in range(K)]
+    ge = jnp.stack(chans, axis=2)  # [N, D, 5, H+4, W, co]
+    ge = jnp.transpose(ge, (0, 1, 2, 5, 3, 4)).reshape(
+        n, d, K * co, (h + 2 * P) * w)
+    ge = jnp.pad(ge, ((0, 0), (0, 0), (0, mg - K * co), (0, 0)))
+    return _pad_flat(ge).astype(dt)
+
+
+def _conv5_wgrad_pallas(x, g, kind, *, interpret=False):
+    n, d, h, ww, ci = x.shape
+    co = g.shape[-1]
+    dt = x.dtype
+    if kind == "stem":
+        ci_p = _round_up(K * K, _sublane(dt))
+        kd_n, grp = 1, co
+        mg = _round_up(K * co, _sublane(dt))
+        xp = jnp.pad(x[..., 0], ((0, 0), (P, P), (P, P), (P, P)))
+        chans = [xp[:, kd:kd + d, :, kw:kw + ww]
+                 for kd in range(K) for kw in range(K)]
+        chans += [jnp.zeros_like(chans[0])] * (ci_p - K * K)
+        xt = _pad_flat(jnp.stack(chans, axis=2).reshape(
+            n, d, ci_p, (h + 2 * P) * ww))
+        ge = _expand_g_stem(g, co, mg, dt)
+        d_out = d
+    else:
+        ci_p = _round_up(ci, _sublane(dt))
+        kd_n, grp = K, K * co
+        mg = _round_up(K * K * co, _sublane(dt))
+        xt = jnp.transpose(x, (0, 1, 4, 2, 3))
+        xt = jnp.pad(xt, ((0, 0), (P, P), (0, ci_p - ci), (P, P),
+                          (0, 0)))
+        xt = _pad_flat(xt.reshape(n, d + 2 * P, ci_p,
+                                  (h + 2 * P) * ww))
+        ge = _expand_g_head(g, co, mg, dt)
+        d_out = d
+
+    hc = _pick_hc_wgrad(h, ww, ci_p, mg, kd_n, jnp.dtype(dt).itemsize)
+    lc = (hc + 4) * ww + 2 * MARGIN
+    kernel = functools.partial(
+        _wgrad_kernel, kd_n=kd_n, ci_p=ci_p, mg=mg, grp=grp, hc=hc,
+        w=ww, lc=lc)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, d_out, h // hc),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (kd_n * ci_p, mg), lambda ni, di, hi: (0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kd_n * ci_p, mg), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((kd_n, ci_p, lc), dt),
+            pltpu.VMEM((mg, lc), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * kd_n * ci_p * mg * lc * n * d_out * (h // hc),
+            bytes_accessed=(xt.size + ge.size) * jnp.dtype(dt).itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(xt, ge)
+
+    if kind == "stem":
+        # rows (kd, kw), cols (kh, co) -> [kd, kh, kw, 1, co]
+        dw = out[:K * K, :K * co].reshape(K, K, K, co)
+        dw = jnp.transpose(dw, (0, 2, 1, 3))[:, :, :, None, :]
+    else:
+        # rows (kd, ci), cols (kh, kw, co) -> [kd, kh, kw, ci, co]
+        dw = out[:, :K * K * co].reshape(K, ci_p, K, K, co)[:, :ci]
+        dw = jnp.transpose(dw, (0, 2, 3, 1, 4))
+    return dw
+
+
+# ----------------------------------------------------------------------
+# public op with Pallas backward (XLA-vjp fallback)
 # ----------------------------------------------------------------------
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def conv5(x, w, b, kind="head", interpret=False):
@@ -251,7 +467,7 @@ def conv5(x, w, b, kind="head", interpret=False):
 
     Args:
         x: [N, D, H, W, Ci]; w: [5, 5, 5, Ci, Co]; b: [Co].
-        kind: 'head' (factored) or 'stem' (C_in=1 im2col).
+        kind: 'head' (general Ci, small Co) or 'stem' (C_in=1).
     """
     if kind == "stem":
         return _conv5_stem_pallas(x, w, b, interpret=interpret)
@@ -263,11 +479,25 @@ def _conv5_fwd(x, w, b, kind, interpret):
 
 
 def _conv5_bwd(kind, interpret, res, g):
-    # the backward is the stock conv's VJP — bit-compatible with training
-    # through the XLA path (the Pallas forward matches it numerically)
+    """dgrad = the head kernel with flipped/transposed weights; wgrad =
+    the lane-contraction kernel; both fall back to the stock conv's VJP
+    when a piece is ineligible."""
     x, w, b = res
-    _, vjp = jax.vjp(_conv5_xla, x, w, b)
-    return vjp(g)
+    ci, co = x.shape[-1], g.shape[-1]
+    dt = x.dtype
+    # dx is a 5^3 SAME conv of g (Ci=co -> Co=ci); allow wide outputs
+    dgrad_ok = _head_ok(g.shape, co, ci, dt, 32)
+    wgrad_ok = (_head_ok(x.shape, ci, co, dt, 16) if kind == "head"
+                else stem_eligible(x.shape, ci, co, dt))
+    if not (dgrad_ok and wgrad_ok):
+        _, vjp = jax.vjp(_conv5_xla, x, w, b)
+        return vjp(g)
+    wflip = jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
+    dx = _conv5_head_pallas(g, wflip, jnp.zeros((ci,), dt),
+                            interpret=interpret)
+    dw = _conv5_wgrad_pallas(x, g, kind, interpret=interpret)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2, 3))
+    return (dx.astype(x.dtype), dw.astype(w.dtype), db.astype(b.dtype))
 
 
 conv5.defvjp(_conv5_fwd, _conv5_bwd)

@@ -68,3 +68,74 @@ def test_eligibility():
     assert not pc.head_eligible((1, 128, 128, 128, 32), 32, 64)  # big Co
     assert pc.stem_eligible((1, 128, 128, 128, 1), 1, 16)
     assert not pc.stem_eligible((1, 128, 128, 128, 4), 4, 16)
+
+
+def test_model_pallas_head_matches_default():
+    """OutputTransition/InputTransition with the Pallas conv produce the
+    same output as the default XLA conv under transplanted params (the
+    param trees are name-compatible by construction)."""
+    from medicalseg_tpu.models.vnet import InputTransition, OutputTransition
+
+    rng = np.random.RandomState(4)
+    key = jax.random.PRNGKey(0)
+
+    # head: eligible shape (W=128); ci=8 keeps CPU interpret fast
+    x = jnp.asarray(rng.randn(1, 4, 8, 128, 8).astype(np.float32))
+    m_def = OutputTransition(num_classes=3, head_conv="default")
+    m_pal = OutputTransition(num_classes=3, head_conv="pallas")
+    v = jax.jit(lambda k, x: m_def.init(k, x, train=False))(key, x)
+    o_def = m_def.apply(v, x, train=False)
+    o_pal = m_pal.apply(v, x, train=False)  # same tree: transplanted
+    np.testing.assert_allclose(np.asarray(o_pal), np.asarray(o_def),
+                               atol=2e-2, rtol=2e-2)
+
+    # stem
+    xs = jnp.asarray(rng.randn(1, 4, 8, 128, 1).astype(np.float32))
+    s_def = InputTransition(1)
+    s_pal = InputTransition(1, stem_conv="pallas")
+    vs = jax.jit(lambda k, x: s_def.init(k, x, train=False))(key, xs)
+    np.testing.assert_allclose(
+        np.asarray(s_pal.apply(vs, xs, train=False)),
+        np.asarray(s_def.apply(vs, xs, train=False)),
+        atol=2e-2, rtol=2e-2)
+
+
+def test_model_pallas_fallback_ineligible():
+    """Ineligible shapes (W not lane-aligned) silently use the XLA conv
+    — numerics then match the default path exactly."""
+    from medicalseg_tpu.models.vnet import OutputTransition
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 4, 8, 32, 8).astype(np.float32))
+    m_def = OutputTransition(num_classes=3, head_conv="default")
+    m_pal = OutputTransition(num_classes=3, head_conv="pallas")
+    v = jax.jit(lambda k, x: m_def.init(k, x, train=False))(
+        jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(m_pal.apply(v, x, train=False)),
+        np.asarray(m_def.apply(v, x, train=False)), atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_backward_matches_xla_vjp():
+    """On eligible shapes the custom VJP uses the Pallas dgrad/wgrad
+    kernels — compare against autodiff of the stock conv."""
+    rng = np.random.RandomState(7)
+    for kind, ci, co in (("head", 8, 3), ("stem", 1, 16)):
+        x = jnp.asarray(rng.randn(1, 4, 8, 128, ci).astype(np.float32))
+        k = jnp.asarray((rng.randn(5, 5, 5, ci, co) /
+                         np.sqrt(125 * ci)).astype(np.float32))
+        b = jnp.asarray(rng.randn(co).astype(np.float32))
+        g = jnp.asarray(rng.randn(1, 4, 8, 128, co).astype(np.float32))
+
+        def f_pal(x, k, b):
+            return jnp.vdot(pc.conv5(x, k, b, kind, True), g)
+
+        def f_xla(x, k, b):
+            return jnp.vdot(pc._conv5_xla(x, k, b), g)
+
+        gp = jax.grad(f_pal, argnums=(0, 1, 2))(x, k, b)
+        gx = jax.grad(f_xla, argnums=(0, 1, 2))(x, k, b)
+        for a, c in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=5e-3, rtol=5e-3,
+                                       err_msg=kind)

@@ -35,17 +35,53 @@ def make_volume(rng, size=32, num_classes=3):
     return img.astype(np.float32), label
 
 
+def make_volume_lesions(rng, size=128, num_classes=3):
+    """A structured CT-like volume for convergence studies: a smooth
+    background intensity field with 2-5 ellipsoidal 'lesions' (class 1)
+    each holding a denser core (class 2), deliberate intensity overlap
+    between classes, and per-volume gain/offset jitter — learnable with
+    context, not trivially thresholdable voxel-wise."""
+    coords = np.stack(np.meshgrid(*([np.arange(size)] * 3),
+                                  indexing="ij")).astype(np.float32)
+    # smooth low-frequency background (lung-parenchyma-ish gradients)
+    f = [rng.uniform(0.5, 1.5) * 2 * np.pi / size for _ in range(3)]
+    ph = rng.uniform(0, 2 * np.pi, 3)
+    bg = (0.25 + 0.05 * np.sin(coords[0] * f[0] + ph[0]) *
+          np.cos(coords[1] * f[1] + ph[1]) +
+          0.04 * np.sin(coords[2] * f[2] + ph[2]))
+
+    label = np.zeros((size,) * 3, np.int32)
+    img = bg.astype(np.float32)
+    for _ in range(rng.randint(2, 6)):
+        center = rng.uniform(size * 0.15, size * 0.85, size=3)
+        radii = rng.uniform(size * 0.06, size * 0.16, size=3)
+        d = np.sqrt((((coords - center[:, None, None, None]) /
+                      radii[:, None, None, None]) ** 2).sum(0))
+        lesion = d < 1.0
+        core = d < rng.uniform(0.35, 0.55)
+        label[lesion] = 1
+        label[core] = 2
+        # overlapping intensity bumps: lesion +0.18..0.3, core +0.1 more
+        img = img + lesion * rng.uniform(0.18, 0.30)
+        img = img + core * rng.uniform(0.05, 0.15)
+    img = img + rng.normal(0.0, 0.06, (size,) * 3)
+    gain, off = rng.uniform(0.9, 1.1), rng.uniform(-0.03, 0.03)
+    img = np.clip(img * gain + off, 0, 1) * 255.0
+    return img.astype(np.float32), label
+
+
 def generate(root, num_volumes=8, size=32, num_classes=3, seed=0,
-             val_frac=0.25):
+             val_frac=0.25, style="spheres", name="synthetic"):
     rng = np.random.RandomState(seed)
-    phase0 = os.path.join(root, "synthetic", "synthetic_phase0")
+    phase0 = os.path.join(root, name, name + "_phase0")
     os.makedirs(os.path.join(phase0, "images"), exist_ok=True)
     os.makedirs(os.path.join(phase0, "labels"), exist_ok=True)
 
+    maker = make_volume_lesions if style == "lesions" else make_volume
     entries = []
     json_training = {}
     for i in range(num_volumes):
-        img, lab = make_volume(rng, size, num_classes)
+        img, lab = maker(rng, size, num_classes)
         img_rel = "images/vol_{:03d}.npy".format(i)
         lab_rel = "labels/vol_{:03d}.npy".format(i)
         np.save(os.path.join(phase0, img_rel), img)
@@ -65,10 +101,10 @@ def generate(root, num_volumes=8, size=32, num_classes=3, seed=0,
     with open(os.path.join(phase0, "val_list.txt"), "w") as f:
         f.write("\n".join(entries[-n_val:]) + "\n")
 
-    raw_dir = os.path.join(root, "synthetic", "synthetic_raw")
+    raw_dir = os.path.join(root, name, name + "_raw")
     os.makedirs(raw_dir, exist_ok=True)
     with open(os.path.join(raw_dir, "dataset.json"), "w") as f:
-        json.dump({"name": "synthetic", "training": json_training,
+        json.dump({"name": name, "training": json_training,
                    "labels": {str(i): str(i) for i in range(num_classes)}},
                   f, indent=2)
     return phase0
@@ -80,6 +116,10 @@ if __name__ == "__main__":
     parser.add_argument("--num_volumes", type=int, default=8)
     parser.add_argument("--size", type=int, default=32)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--style", default="spheres",
+                        choices=["spheres", "lesions"])
+    parser.add_argument("--name", default="synthetic")
     args = parser.parse_args()
-    path = generate(args.root, args.num_volumes, args.size, seed=args.seed)
+    path = generate(args.root, args.num_volumes, args.size, seed=args.seed,
+                    style=args.style, name=args.name)
     print("Synthetic dataset written to", path)

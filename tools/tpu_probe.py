@@ -136,19 +136,23 @@ def probe_pallas(iters=20):
 
     rng = np.random.RandomState(0)
 
-    def run(tag, n, d, h, w, ci, co, kind):
-        x = jnp.asarray(rng.randn(n, d, h, w, ci).astype(np.float32))
+    def run(tag, n, d, h, w, ci, co, kind, dtype=np.float32):
+        x = jnp.asarray(rng.randn(n, d, h, w, ci).astype(np.float32),
+                        dtype=dtype)
         k = jnp.asarray((rng.randn(5, 5, 5, ci, co) /
-                         np.sqrt(125 * ci)).astype(np.float32))
-        b = jnp.asarray(rng.randn(co).astype(np.float32))
+                         np.sqrt(125 * ci)).astype(np.float32),
+                        dtype=dtype)
+        b = jnp.asarray(rng.randn(co).astype(np.float32), dtype=dtype)
 
         f_pal = jax.jit(lambda x, k, b: pc.conv5(x, k, b, kind, False))
         f_xla = jax.jit(pc._conv5_xla)
 
         got = f_pal(x, k, b)
         ref = f_xla(x, k, b)
-        err = float(jnp.max(jnp.abs(got - ref)) /
-                    jnp.maximum(jnp.max(jnp.abs(ref)), 1e-6))
+        err = float((jnp.max(jnp.abs(got.astype(jnp.float32) -
+                                     ref.astype(jnp.float32))) /
+                     jnp.maximum(jnp.max(jnp.abs(
+                         ref.astype(jnp.float32))), 1e-6)))
         outs = []
         for name, f in (("pallas", f_pal), ("xla", f_xla)):
             _sync(f(x, k, b))
@@ -161,9 +165,83 @@ def probe_pallas(iters=20):
               "rel err {:.2e}".format(tag, outs[0], outs[1],
                                       outs[1] / outs[0], err))
 
-    run("head 128^3 ci32->co3", 1, 128, 128, 128, 32, 3, "head")
-    run("stem 128^3 ci1->co16", 1, 128, 128, 128, 1, 16, "stem")
-    run("head b2", 2, 128, 128, 128, 32, 3, "head")
+    import jax.numpy as jnp
+    run("head 128^3 ci32->co3 bf16", 1, 128, 128, 128, 32, 3, "head",
+        jnp.bfloat16)
+    run("stem 128^3 ci1->co16 bf16", 1, 128, 128, 128, 1, 16, "stem",
+        jnp.bfloat16)
+
+
+def probe_pallas_amortized(reps=8, iters=5):
+    """Per-dispatch tunnel overhead dominates single-op timings (an XLA
+    stem conv 'measures' 291 ms here vs 20 ms in-model), so run `reps`
+    convs on DISTINCT inputs inside ONE program and difference against
+    a single-conv program: per-conv = (t_reps - t_one) / (reps - 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from medicalseg_tpu.ops import pallas_conv5 as pc
+
+    rng = np.random.RandomState(0)
+
+    def run(tag, d, h, w, ci, co, kind):
+        xs = jnp.asarray(rng.randn(reps, 1, d, h, w, ci).astype(
+            np.float32), dtype=jnp.bfloat16)
+        k = jnp.asarray((rng.randn(5, 5, 5, ci, co) /
+                         np.sqrt(125 * ci)).astype(np.float32),
+                        dtype=jnp.bfloat16)
+        b = jnp.zeros((co,), jnp.bfloat16)
+
+        def make(f, r):
+            return jax.jit(lambda xs, k, b: jnp.stack(
+                [f(xs[i], k, b).astype(jnp.float32).mean()
+                 for i in range(r)]))
+
+        for name, f in (("pallas",
+                         lambda x, k, b: pc.conv5(x, k, b, kind, False)),
+                        ("xla", pc._conv5_xla)):
+            f_many = make(f, reps)
+            f_one = make(f, 1)
+            _sync(f_many(xs, k, b)); _sync(f_one(xs, k, b))
+            ts = []
+            for fn in (f_many, f_one):
+                t0 = time.time()
+                for _ in range(iters):
+                    o = fn(xs, k, b)
+                _sync(o)
+                ts.append((time.time() - t0) / iters)
+            per = (ts[0] - ts[1]) / (reps - 1) * 1e3
+            print("{} {}: {:.2f} ms/conv (reps {:.1f} ms, one {:.1f} ms)"
+                  .format(tag, name, per, ts[0] * 1e3, ts[1] * 1e3))
+
+    run("head ci32->co3", 128, 128, 128, 32, 3, "head")
+    run("stem ci1->co16", 128, 128, 128, 1, 16, "stem")
+    run("mid ci32->co16", 128, 128, 128, 32, 16, "head")
+
+
+def probe_model_fwd(iters=10):
+    """In-model forward wall time: head_conv default vs pallas (both
+    carry the same dispatch overhead, so the delta is the kernel win)."""
+    import jax
+    import jax.numpy as jnp
+
+    from medicalseg_tpu.models import VNet
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 128, 128, 128, 1).astype(np.float32))
+    for head in ("default", "pallas"):
+        model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
+                     head_conv=head)
+        v = jax.jit(lambda k, x: model.init(k, x, train=False))(
+            jax.random.PRNGKey(0), x)
+        f = jax.jit(lambda v, x: model.apply(v, x, train=False)[0])
+        _sync(f(v, x))
+        t0 = time.time()
+        for _ in range(iters):
+            o = f(v, x)
+        _sync(o)
+        print("VNet fwd 128^3 b1 bf16 head_conv={}: {:.1f} ms wall".format(
+            head, (time.time() - t0) / iters * 1e3))
 
 
 def main():
@@ -179,6 +257,10 @@ def main():
         probe_h2d()
     if which in ("pallas", "all"):
         probe_pallas()
+    if which in ("pallas_amortized", "all"):
+        probe_pallas_amortized()
+    if which in ("model_fwd", "all"):
+        probe_model_fwd()
     if which in ("train_profile", "all"):
         probe_train_profile()
 
