@@ -50,7 +50,8 @@ def bench_pipeline(n_volumes=20, raw_shape=(200, 512, 512), iters=3):
     from medicalseg_tpu.models import VNet
     import optax
 
-    model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16)
+    model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
+                 head_conv="pallas", mid_conv="pallas")
     sample = jnp.zeros((1, 128, 128, 128, 1), jnp.float32)
     state = TrainState.create(model, optax.sgd(1e-3), sample,
                               jax.random.PRNGKey(0))
@@ -94,7 +95,8 @@ def _make_pipeline_fn():
     from medicalseg_tpu.core.state import TrainState
     from medicalseg_tpu.models import VNet
 
-    model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16)
+    model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
+                 head_conv="pallas", mid_conv="pallas")
     sample = jnp.zeros((1, 128, 128, 128, 1), jnp.float32)
     state = TrainState.create(model, optax.sgd(1e-3), sample,
                               jax.random.PRNGKey(0))
@@ -188,7 +190,7 @@ def bench_train(batch=1, iters=10, remat=True, steps_per_dispatch=1):
                                            RandomResizedCrop3D)
 
     model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
-                 remat=remat)
+                 remat=remat, head_conv="pallas", mid_conv="pallas")
     losses = {"types": [MixedLoss([CrossEntropyLoss(), DiceLoss()],
                                   [1.0, 1.0])], "coef": [1]}
     schedule = optax.polynomial_schedule(1e-3, 0.0, 0.9, 15000)

@@ -183,7 +183,7 @@ class ConvBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        if (self.lane_pad == "pallas" and self.features <= 24 and
+        if (self.lane_pad == "pallas" and self.features <= 64 and
                 tuple(self.kernel_size) == (5, 5, 5) and
                 tuple(self.strides) == (1, 1, 1)):
             x = PallasConv5(self.features, kind="head", dtype=self.dtype,
@@ -226,17 +226,20 @@ class ConvBNAct(nn.Module):
 
 class NConvs(nn.Module):
     """``depth`` stacked 5x5x5 ConvBNAct blocks at constant width
-    (reference _make_nConv, vnet.py:46-54)."""
+    (reference _make_nConv, vnet.py:46-54). ``conv_impl='pallas'``
+    routes every eligible conv through the Pallas MXU kernels."""
     features: int
     depth: int
     elu: bool = False
     dtype: Any = jnp.float32
+    conv_impl: str = "default"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        lane_pad = "pallas" if self.conv_impl == "pallas" else False
         for _ in range(self.depth):
             x = ConvBNAct(self.features, elu=self.elu,
-                          dtype=self.dtype)(x, train)
+                          dtype=self.dtype, lane_pad=lane_pad)(x, train)
         return x
 
 

@@ -61,6 +61,7 @@ class DownTransition(nn.Module):
     down_stride: Tuple[int, int, int] = (2, 2, 2)
     down_kernel: Tuple[int, int, int] = (2, 2, 2)
     dtype: Any = jnp.float32
+    conv_impl: str = "default"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -75,7 +76,8 @@ class DownTransition(nn.Module):
         if self.dropout:
             out = ChannelDropout()(out, deterministic=not train)
         out = NConvs(out_channels, self.n_convs, elu=self.elu,
-                     dtype=self.dtype)(out, train)
+                     dtype=self.dtype,
+                     conv_impl=self.conv_impl)(out, train)
         out = out + down
         return Activation(elu=self.elu, dtype=self.dtype)(out)
 
@@ -92,6 +94,7 @@ class UpTransition(nn.Module):
     up_stride: Tuple[int, int, int] = (2, 2, 2)
     up_kernel: Tuple[int, int, int] = (2, 2, 2)
     dtype: Any = jnp.float32
+    conv_impl: str = "default"
 
     @nn.compact
     def __call__(self, x, skipx, train: bool = True):
@@ -112,7 +115,8 @@ class UpTransition(nn.Module):
         out = Activation(elu=self.elu, dtype=self.dtype)(out)
         xcat = jnp.concatenate([out, skip.astype(self.dtype)], axis=-1)
         out = NConvs(self.out_channels, self.n_convs, elu=self.elu,
-                     dtype=self.dtype)(xcat, train)
+                     dtype=self.dtype,
+                     conv_impl=self.conv_impl)(xcat, train)
         out = out + xcat
         return Activation(elu=self.elu, dtype=self.dtype)(out)
 
@@ -168,6 +172,9 @@ class VNet(nn.Module):
     head_conv: str = "default"  # 'default'|'narrow'|'lane_pad'|'pallas'
     # — 'pallas' also switches the InputTransition stem to the Pallas
     # kernel (see OutputTransition / layers.PallasConv5)
+    mid_conv: str = "default"  # 'default' | 'pallas' — conv impl of the
+    # residual NConv stacks (Pallas MXU kernels where the traced shape
+    # is eligible, XLA otherwise; see layers.NConvs)
     dropout: bool = True  # False disables the mid-stage ChannelDropouts
     # (the reference's torch-alignment harness runs with dropout off,
     # reference vnet.py:285-404)
@@ -192,23 +199,28 @@ class VNet(nn.Module):
         stem = "pallas" if self.head_conv == "pallas" else "default"
         out16 = Input(self.in_channels, self.elu, self.dtype, 16, stem,
                       name="InputTransition_0")(x, train)
+        mc = self.mid_conv
         out32 = Down(16, 1, self.elu, False, ss[0], ks[0], self.dtype,
-                     name="DownTransition_0")(out16, train)
+                     mc, name="DownTransition_0")(out16, train)
         out64 = Down(32, 2, self.elu, False, ss[1], ks[1], self.dtype,
-                     name="DownTransition_1")(out32, train)
+                     mc, name="DownTransition_1")(out32, train)
         do = self.dropout
         out128 = Down(64, 3, self.elu, do, ss[2], ks[2], self.dtype,
-                      name="DownTransition_2")(out64, train)
+                      mc, name="DownTransition_2")(out64, train)
         out256 = Down(128, 2, self.elu, do, ss[3], ks[3], self.dtype,
-                      name="DownTransition_3")(out128, train)
+                      mc, name="DownTransition_3")(out128, train)
         out = Up(256, 256, 2, self.elu, do, do, ss[3], ks[3],
-                 self.dtype, name="UpTransition_0")(out256, out128, train)
+                 self.dtype, mc,
+                 name="UpTransition_0")(out256, out128, train)
         out = Up(256, 128, 2, self.elu, do, do, ss[2], ks[2],
-                 self.dtype, name="UpTransition_1")(out, out64, train)
+                 self.dtype, mc,
+                 name="UpTransition_1")(out, out64, train)
         out = Up(128, 64, 1, self.elu, False, False, ss[1], ks[1],
-                 self.dtype, name="UpTransition_2")(out, out32, train)
+                 self.dtype, mc,
+                 name="UpTransition_2")(out, out32, train)
         out = Up(64, 32, 1, self.elu, False, False, ss[0], ks[0],
-                 self.dtype, name="UpTransition_3")(out, out16, train)
+                 self.dtype, mc,
+                 name="UpTransition_3")(out, out16, train)
         out = Output(self.num_classes, self.elu, self.dtype,
                      self.head_conv,
                      name="OutputTransition_0")(out, train)

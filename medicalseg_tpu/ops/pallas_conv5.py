@@ -86,12 +86,22 @@ def _sublane(dtype) -> int:
     return 16 if jnp.dtype(dtype).itemsize == 2 else 8
 
 
+def _co_chunk(co_p, fold_kw):
+    """Rows per output-channel chunk: wide heads fold 8 channels at a
+    time so the f32 accumulator stays VMEM-sized."""
+    return co_p if (not fold_kw or co_p <= 16) else 8
+
+
 def _pick_hc(h, w, ci_p, co_p, kd_n, itemsize, fold_kw,
-             budget=11 * 1024 * 1024):
-    """Largest h-chunk whose slab + accumulator fit VMEM."""
-    m = (K * K if fold_kw else K) * co_p
+             budget=11 * 1024 * 1024, align=True):
+    """Largest h-chunk whose slab + accumulator fit VMEM. Both the DMA
+    offset (hc*w) and the slab extent must be lane-tile multiples, so
+    W only needs to divide into 128 with the 4-row halo: W % 32 == 0.
+    (``align=False`` in interpreter mode, where tiny test shapes run.)"""
+    cc = _co_chunk(co_p, fold_kw)
+    m = (K * K if fold_kw else K) * cc
     for hc in (64, 32, 16, 8, 4, 2, 1):
-        if h % hc:
+        if h % hc or (align and (hc * w) % 128):
             continue
         lc = (hc + 4) * w + 2 * MARGIN
         slab = kd_n * ci_p * lc * itemsize
@@ -107,14 +117,14 @@ def _head_ok(x_shape, ci, co, dtype, co_cap):
     d, h, w = x_shape[1:4]
     ci_p = _round_up(ci, _sublane(dtype))
     co_p = _round_up(co, 8)
-    return (co <= co_cap and ci <= 64 and w % 128 == 0 and
+    return (co <= co_cap and ci <= 64 and w % 32 == 0 and
             _pick_hc(h, w, ci_p, co_p, K, jnp.dtype(dtype).itemsize,
                      True) is not None)
 
 
 def head_eligible(x_shape: Tuple[int, ...], ci: int, co: int,
                   dtype=jnp.float32) -> bool:
-    return _head_ok(x_shape, ci, co, dtype, 16)
+    return _head_ok(x_shape, ci, co, dtype, 64)
 
 
 def stem_eligible(x_shape: Tuple[int, ...], ci: int, co: int,
@@ -122,7 +132,7 @@ def stem_eligible(x_shape: Tuple[int, ...], ci: int, co: int,
     d, h, w = x_shape[1:4]
     ci_p = _round_up(K * K, _sublane(dtype))
     co_p = _round_up(co, 8)
-    return (ci == 1 and co <= 24 and w % 128 == 0 and
+    return (ci == 1 and co <= 24 and w % 32 == 0 and
             _pick_hc(h, w, ci_p, co_p, 1, jnp.dtype(dtype).itemsize,
                      False) is not None)
 
@@ -153,42 +163,53 @@ def _conv5_kernel(xt_ref, lhs_ref, b_ref, out_ref, slab, sem,
     copy.start()
     copy.wait()
 
-    # the RHS is the slab itself: rows (kd, ci), columns voxels
-    acc = jax.lax.dot_general(
-        lhs_ref[:], slab[:].reshape(kd_n * ci_p, lc),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [(kh[,kw],co'), lc]
+    rhs = slab[:].reshape(kd_n * ci_p, lc)
+    cc = _co_chunk(co_p, fold_kw)
+    m_rows = (K * K if fold_kw else K) * cc
+    qw = (jax.lax.broadcasted_iota(jnp.int32, (cc, hc * w), 1) % w
+          if fold_kw else None)
 
-    # fold tap partials: output voxel q (row qh, col qw of the chunk)
-    # takes tap (kh, kw) from acc row-block (kh, kw) at column
-    # q + MARGIN + kh*W + (kw - 2); the slice crosses an image-row
-    # boundary exactly where the SAME mask zeroes the tap. All slices
-    # are on the f32 accumulator (32-bit lane rotates are supported).
-    res = jnp.zeros((co_p, hc * w), jnp.float32)
-    if fold_kw:
-        qw = jax.lax.broadcasted_iota(jnp.int32, (co_p, hc * w), 1) % w
-        for kh in range(K):
-            for kw in range(K):
-                m0 = (kh * K + kw) * co_p
-                off = kh * w + kw + MARGIN - P
-                sl = acc[m0:m0 + co_p, off:off + hc * w]
-                if kw != P:
-                    mask = jnp.logical_and(qw >= P - kw, qw < w + P - kw)
-                    sl = jnp.where(mask, sl, 0.0)
-                res = res + sl
-    else:
-        for kh in range(K):
-            m0 = kh * co_p
-            off = kh * w + MARGIN
-            res = res + acc[m0:m0 + co_p, off:off + hc * w]
-    out_ref[0, 0] = (res + b_ref[:].astype(jnp.float32)).astype(
-        out_ref.dtype)
+    # wide heads fold 8 output channels per matmul so the f32
+    # accumulator stays small; lhs rows are chunk-major (c, kh, kw, cc)
+    for c in range(co_p // cc):
+        # the RHS is the slab itself: rows (kd, ci), columns voxels
+        acc = jax.lax.dot_general(
+            lhs_ref[c * m_rows:(c + 1) * m_rows, :], rhs,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [(kh[,kw],cc), lc]
+
+        # fold tap partials: output voxel q (row qh, col qw of the
+        # chunk) takes tap (kh, kw) from acc row-block (kh, kw) at
+        # column q + MARGIN + kh*W + (kw - 2); the slice crosses an
+        # image-row boundary exactly where the SAME mask zeroes the
+        # tap. All slices are on the f32 accumulator (32-bit lane
+        # rotates are supported; bf16 ones are not).
+        res = jnp.zeros((cc, hc * w), jnp.float32)
+        if fold_kw:
+            for kh in range(K):
+                for kw in range(K):
+                    m0 = (kh * K + kw) * cc
+                    off = kh * w + kw + MARGIN - P
+                    sl = acc[m0:m0 + cc, off:off + hc * w]
+                    if kw != P:
+                        mask = jnp.logical_and(qw >= P - kw,
+                                               qw < w + P - kw)
+                        sl = jnp.where(mask, sl, 0.0)
+                    res = res + sl
+        else:
+            for kh in range(K):
+                off = kh * w + MARGIN
+                res = res + acc[kh * cc:(kh + 1) * cc,
+                                off:off + hc * w]
+        res = res + b_ref[c * cc:(c + 1) * cc].astype(jnp.float32)
+        out_ref[0, 0, c * cc:(c + 1) * cc, :] = res.astype(
+            out_ref.dtype)
 
 
 def _run_conv5(xt, lhs, bias, *, n, d_out, h, w, kd_n, ci_p, co_p,
                dtype, fold_kw, interpret):
     hc = _pick_hc(h, w, ci_p, co_p, kd_n, jnp.dtype(dtype).itemsize,
-                  fold_kw)
+                  fold_kw, align=not interpret)
     lc = (hc + 4) * w + 2 * MARGIN
     grid = (n, d_out, h // hc)
     kernel = functools.partial(
@@ -246,10 +267,13 @@ def _conv5_head_pallas(x, w, b, *, interpret=False):
     xt = jnp.pad(xt, ((0, 0), (P, P), (0, ci_p - ci), (P, P), (0, 0)))
     xt = _pad_flat(xt.reshape(n, d + 2 * P, ci_p, (h + 2 * P) * ww))
 
-    # weights: [5,5,5,Ci,Co] -> rows (kh, kw, co), cols (kd, ci)
+    # weights: [5,5,5,Ci,Co] -> rows (chunk, kh, kw, cc), cols (kd, ci)
     wt = jnp.transpose(w, (1, 2, 4, 0, 3))  # [kh, kw, co, kd, ci]
     wt = jnp.pad(wt, ((0, 0), (0, 0), (0, co_p - co), (0, 0),
                       (0, ci_p - ci)))
+    cc = _co_chunk(co_p, True)
+    wt = wt.reshape(K, K, co_p // cc, cc, K, ci_p)
+    wt = jnp.transpose(wt, (2, 0, 1, 3, 4, 5))
     lhs = wt.reshape(K * K * co_p, K * ci_p).astype(dt)
     bias = jnp.pad(b, (0, co_p - co)).astype(jnp.float32).reshape(co_p, 1)
 
@@ -350,9 +374,9 @@ def _wgrad_kernel(xt_ref, ge_ref, out_ref, slab, gbuf, sems,
 
 
 def _pick_hc_wgrad(h, w, ci_p, mg, kd_n, itemsize,
-                   budget=11 * 1024 * 1024):
+                   budget=11 * 1024 * 1024, align=True):
     for hc in (64, 32, 16, 8, 4, 2, 1):
-        if h % hc:
+        if h % hc or (align and (hc * w) % 128):
             continue
         lc = (hc + 4) * w + 2 * MARGIN
         if (kd_n * ci_p * lc * itemsize + 2 * mg * lc * itemsize +
@@ -421,7 +445,8 @@ def _conv5_wgrad_pallas(x, g, kind, *, interpret=False):
         ge = _expand_g_head(g, co, mg, dt)
         d_out = d
 
-    hc = _pick_hc_wgrad(h, ww, ci_p, mg, kd_n, jnp.dtype(dt).itemsize)
+    hc = _pick_hc_wgrad(h, ww, ci_p, mg, kd_n,
+                        jnp.dtype(dt).itemsize, align=not interpret)
     lc = (hc + 4) * ww + 2 * MARGIN
     kernel = functools.partial(
         _wgrad_kernel, kd_n=kd_n, ci_p=ci_p, mg=mg, grp=grp, hc=hc,
@@ -480,24 +505,29 @@ def _conv5_fwd(x, w, b, kind, interpret):
 
 def _conv5_bwd(kind, interpret, res, g):
     """dgrad = the head kernel with flipped/transposed weights; wgrad =
-    the lane-contraction kernel; both fall back to the stock conv's VJP
-    when a piece is ineligible."""
+    the lane-contraction kernel; each piece independently falls back to
+    the stock conv's VJP when ineligible."""
     x, w, b = res
     ci, co = x.shape[-1], g.shape[-1]
     dt = x.dtype
-    # dx is a 5^3 SAME conv of g (Ci=co -> Co=ci); allow wide outputs
-    dgrad_ok = _head_ok(g.shape, co, ci, dt, 32)
+    # dx is a 5^3 SAME conv of g (Ci=co -> Co=ci)
+    if _head_ok(g.shape, co, ci, dt, 64):
+        wflip = jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
+        dx = _conv5_head_pallas(g, wflip, jnp.zeros((ci,), dt),
+                                interpret=interpret).astype(x.dtype)
+    else:
+        dx = jax.vjp(lambda x_: _conv5_xla(x_, w, b), x)[1](g)[0]
+    # dw: the lane-contraction kernel; Mg = 25*co rows must stay modest
     wgrad_ok = (_head_ok(x.shape, ci, co, dt, 16) if kind == "head"
                 else stem_eligible(x.shape, ci, co, dt))
-    if not (dgrad_ok and wgrad_ok):
-        _, vjp = jax.vjp(_conv5_xla, x, w, b)
-        return vjp(g)
-    wflip = jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
-    dx = _conv5_head_pallas(g, wflip, jnp.zeros((ci,), dt),
-                            interpret=interpret)
-    dw = _conv5_wgrad_pallas(x, g, kind, interpret=interpret)
-    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2, 3))
-    return (dx.astype(x.dtype), dw.astype(w.dtype), db.astype(b.dtype))
+    if wgrad_ok:
+        dw = _conv5_wgrad_pallas(x, g, kind,
+                                 interpret=interpret).astype(w.dtype)
+    else:
+        dw = jax.vjp(lambda w_: _conv5_xla(x, w_, b), w)[1](g)[0]
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2, 3)).astype(
+        b.dtype)
+    return (dx, dw, db)
 
 
 conv5.defvjp(_conv5_fwd, _conv5_bwd)

@@ -64,8 +64,10 @@ def test_conv5_gradients_match_xla():
 
 def test_eligibility():
     assert pc.head_eligible((1, 128, 128, 128, 32), 32, 3)
-    assert not pc.head_eligible((1, 128, 128, 100, 32), 32, 3)  # W%128
-    assert not pc.head_eligible((1, 128, 128, 128, 32), 32, 64)  # big Co
+    assert not pc.head_eligible((1, 128, 128, 100, 32), 32, 3)  # W%32
+    assert pc.head_eligible((1, 128, 128, 128, 32), 32, 64)  # chunked co
+    assert not pc.head_eligible((1, 128, 128, 128, 32), 32, 80)  # big Co
+    assert pc.head_eligible((1, 64, 64, 64, 64), 64, 64)  # 64^3 stage
     assert pc.stem_eligible((1, 128, 128, 128, 1), 1, 16)
     assert not pc.stem_eligible((1, 128, 128, 128, 4), 4, 16)
 
@@ -139,3 +141,16 @@ def test_pallas_backward_matches_xla_vjp():
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        atol=5e-3, rtol=5e-3,
                                        err_msg=kind)
+
+
+def test_head_kernel_w64_and_chunked_co():
+    """W%32 eligibility (64^3-stage shapes) and the co-chunked fold for
+    wide heads (co=32 -> 4 chunks of 8)."""
+    x, k, b = _data(1, 4, 8, 64, ci=16, co=32, seed=8)
+    assert pc.head_eligible(x.shape, 16, 32)
+    ref = pc._conv5_xla(x, k, b)
+    got = pc.conv5(x, k, b, "head", True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+    # odd W stays ineligible
+    assert not pc.head_eligible((1, 4, 8, 48, 16), 16, 32)

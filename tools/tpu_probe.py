@@ -58,6 +58,50 @@ def probe_h2d():
         dt, 3 * f32s[0].nbytes / 1e6 / dt))
 
 
+def _trace_top_ops(fn, args, steps=3, outdir="/tmp/fwd_trace", top=30):
+    """jax.profiler trace of fn(*args); print the top device ops."""
+    import glob
+    import jax
+
+    _sync(fn(*args))
+    with jax.profiler.trace(outdir):
+        for _ in range(steps):
+            o = fn(*args)
+        _sync(o)
+    traces = sorted(glob.glob(outdir + "/**/*.trace.json.gz",
+                              recursive=True))
+    if not traces:
+        print("no trace written")
+        return
+    with gzip.open(traces[-1], "rt") as f:
+        events = json.load(f).get("traceEvents", [])
+    totals = {}
+    for e in events:
+        if e.get("ph") == "X" and "dur" in e:
+            name = e.get("name", "?")
+            totals[name] = totals.get(name, 0) + e["dur"]
+    for name, dur in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
+        print("{:>12.2f} ms  {}".format(dur / 1e3 / steps, name[:110]))
+
+
+def probe_model_fwd_trace(head="pallas", mid="default"):
+    """Device-op profile of the in-model forward with the Pallas convs —
+    finds integration overheads the isolated kernel probe can't see."""
+    import jax
+    import jax.numpy as jnp
+
+    from medicalseg_tpu.models import VNet
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 128, 128, 128, 1).astype(np.float32))
+    model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
+                 head_conv=head, mid_conv=mid)
+    v = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), x)
+    f = jax.jit(lambda v, x: model.apply(v, x, train=False)[0])
+    _trace_top_ops(f, (v, x))
+
+
 def probe_train_profile(steps=3):
     """jax.profiler trace of the (cached) 128^3 train step; prints the
     top device ops from the trace."""
@@ -229,9 +273,10 @@ def probe_model_fwd(iters=10):
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(1, 128, 128, 128, 1).astype(np.float32))
-    for head in ("default", "pallas"):
+    for head, mid in (("default", "default"), ("pallas", "default"),
+                      ("pallas", "pallas")):
         model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
-                     head_conv=head)
+                     head_conv=head, mid_conv=mid)
         v = jax.jit(lambda k, x: model.init(k, x, train=False))(
             jax.random.PRNGKey(0), x)
         f = jax.jit(lambda v, x: model.apply(v, x, train=False)[0])
@@ -240,8 +285,8 @@ def probe_model_fwd(iters=10):
         for _ in range(iters):
             o = f(v, x)
         _sync(o)
-        print("VNet fwd 128^3 b1 bf16 head_conv={}: {:.1f} ms wall".format(
-            head, (time.time() - t0) / iters * 1e3))
+        print("VNet fwd 128^3 b1 bf16 head={} mid={}: {:.1f} ms wall"
+              .format(head, mid, (time.time() - t0) / iters * 1e3))
 
 
 def main():
@@ -261,6 +306,8 @@ def main():
         probe_pallas_amortized()
     if which in ("model_fwd", "all"):
         probe_model_fwd()
+    if which == "model_fwd_trace":
+        probe_model_fwd_trace()
     if which in ("train_profile", "all"):
         probe_train_profile()
 
