@@ -42,12 +42,16 @@ class VNetDeepSup(nn.Module):
     stride_size: Sequence[Tuple[int, int, int]] = (
         (2, 2, 2), (2, 2, 2), (2, 2, 2), (2, 2, 2))
     dtype: Any = jnp.float32
+    head_conv: str = "default"  # 'pallas' also switches the stem
+    mid_conv: str = "default"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = x.astype(self.dtype)
         size = x.shape[1:4]
         ks, ss = self.kernel_size, self.stride_size
+        mc = self.mid_conv
+        stem = "pallas" if self.head_conv == "pallas" else "default"
 
         def head(features, h):
             return nn.Conv(self.num_classes, (3, 3, 3), padding="SAME",
@@ -55,29 +59,29 @@ class VNetDeepSup(nn.Module):
                            kernel_init=nn.initializers.he_normal())(h)
 
         out16 = InputTransition(self.in_channels, self.elu,
-                                self.dtype)(x, train)
+                                self.dtype, 16, stem)(x, train)
         out32 = DownTransition(16, 1, self.elu, False, ss[0], ks[0],
-                               self.dtype)(out16, train)
+                               self.dtype, mc)(out16, train)
         out64 = DownTransition(32, 2, self.elu, False, ss[1], ks[1],
-                               self.dtype)(out32, train)
+                               self.dtype, mc)(out32, train)
         out128 = DownTransition(64, 3, self.elu, True, ss[2], ks[2],
-                                self.dtype)(out64, train)
+                                self.dtype, mc)(out64, train)
         out256 = DownTransition(128, 2, self.elu, True, ss[3], ks[3],
-                                self.dtype)(out128, train)
+                                self.dtype, mc)(out128, train)
 
         out = UpTransition(256, 256, 2, self.elu, True, True, ss[3], ks[3],
-                           self.dtype)(out256, out128, train)
+                           self.dtype, mc)(out256, out128, train)
         d1 = _upsample_trilinear(head(256, out).astype(jnp.float32), size)
         out = UpTransition(256, 128, 2, self.elu, True, True, ss[2], ks[2],
-                           self.dtype)(out, out64, train)
+                           self.dtype, mc)(out, out64, train)
         d2 = _upsample_trilinear(head(128, out).astype(jnp.float32), size)
         out = UpTransition(128, 64, 1, self.elu, False, False, ss[1], ks[1],
-                           self.dtype)(out, out32, train)
+                           self.dtype, mc)(out, out32, train)
         d3 = _upsample_trilinear(head(64, out).astype(jnp.float32), size)
         out = UpTransition(64, 32, 1, self.elu, False, False, ss[0], ks[0],
-                           self.dtype)(out, out16, train)
+                           self.dtype, mc)(out, out16, train)
         out = OutputTransition(self.num_classes, self.elu,
-                               self.dtype)(out, train)
+                               self.dtype, self.head_conv)(out, train)
         return [out.astype(jnp.float32), d1, d2, d3]
 
     def test(self):

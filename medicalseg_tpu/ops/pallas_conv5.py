@@ -388,19 +388,24 @@ def _pick_hc_wgrad(h, w, ci_p, mg, kd_n, itemsize,
 def _expand_g_head(g, co, mg, dt):
     """ge rows (kh, kw, co): g shifted by (+kh rows, +(kw-2) cols) on the
     (H+4)-padded flat grid, zeros outside — the kw SAME mask is realized
-    by the zero padding."""
+    by the zero padding.
+
+    co is moved OFF the minor axis before any stacking: a 6D
+    intermediate with a tiny channels-minor dim gets lane-padded to 128
+    by XLA's tiled layout (42x HBM for co=3 — measured as a 27.7 GB
+    allocation in the b2 train step)."""
     n, d, h, w, _ = g.shape
-    gp = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (P, P), (0, 0)))
+    gt = jnp.transpose(g, (0, 1, 4, 2, 3))  # [N, D, co, H, W]
+    gp = jnp.pad(gt, ((0, 0), (0, 0), (0, 0), (0, 0), (P, P)))
     chans = []
     for kh in range(K):
         for kw in range(K):
-            c = gp[:, :, :, 2 * P - kw:2 * P - kw + w, :]
-            c = jnp.pad(c, ((0, 0), (0, 0), (kh, 2 * P - kh), (0, 0),
+            c = gp[:, :, :, :, 2 * P - kw:2 * P - kw + w]
+            c = jnp.pad(c, ((0, 0), (0, 0), (0, 0), (kh, 2 * P - kh),
                             (0, 0)))
-            chans.append(c)  # [N, D, H+4, W, co]
-    ge = jnp.stack(chans, axis=2)  # [N, D, 25, H+4, W, co]
-    ge = jnp.transpose(ge, (0, 1, 2, 5, 3, 4)).reshape(
-        n, d, K * K * co, (h + 2 * P) * w)
+            chans.append(c)  # [N, D, co, H+4, W]
+    ge = jnp.stack(chans, axis=2)  # [N, D, 25, co, H+4, W]
+    ge = ge.reshape(n, d, K * K * co, (h + 2 * P) * w)
     ge = jnp.pad(ge, ((0, 0), (0, 0), (0, mg - K * K * co), (0, 0)))
     return _pad_flat(ge).astype(dt)
 
@@ -408,11 +413,11 @@ def _expand_g_head(g, co, mg, dt):
 def _expand_g_stem(g, co, mg, dt):
     """ge rows (kh, co): kw lives in the x channels for the stem."""
     n, d, h, w, _ = g.shape
-    chans = [jnp.pad(g, ((0, 0), (0, 0), (kh, 2 * P - kh), (0, 0),
-                         (0, 0))) for kh in range(K)]
-    ge = jnp.stack(chans, axis=2)  # [N, D, 5, H+4, W, co]
-    ge = jnp.transpose(ge, (0, 1, 2, 5, 3, 4)).reshape(
-        n, d, K * co, (h + 2 * P) * w)
+    gt = jnp.transpose(g, (0, 1, 4, 2, 3))  # [N, D, co, H, W]
+    chans = [jnp.pad(gt, ((0, 0), (0, 0), (0, 0), (kh, 2 * P - kh),
+                          (0, 0))) for kh in range(K)]
+    ge = jnp.stack(chans, axis=2)  # [N, D, 5, co, H+4, W]
+    ge = ge.reshape(n, d, K * co, (h + 2 * P) * w)
     ge = jnp.pad(ge, ((0, 0), (0, 0), (0, mg - K * co), (0, 0)))
     return _pad_flat(ge).astype(dt)
 

@@ -118,8 +118,9 @@ def probe_train_profile(steps=3):
                                            RandomResizedCrop3D)
 
     batch = 2
+    variant = os.environ.get("PROBE_CONV", "pallas")
     model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
-                 remat=True)
+                 remat=True, head_conv=variant, mid_conv=variant)
     losses = {"types": [MixedLoss([CrossEntropyLoss(), DiceLoss()],
                                   [1.0, 1.0])], "coef": [1]}
     tx = optax.chain(optax.add_decayed_weights(1e-4),
