@@ -374,13 +374,16 @@ def _wgrad_kernel(xt_ref, ge_ref, out_ref, slab, gbuf, sems,
 
 
 def _pick_hc_wgrad(h, w, ci_p, mg, kd_n, itemsize,
-                   budget=11 * 1024 * 1024, align=True):
+                   budget=11 * 1024 * 1024, align=True, mid=False):
     for hc in (64, 32, 16, 8, 4, 2, 1):
         if h % hc or (align and (hc * w) % 128):
             continue
         lc = (hc + 4) * w + 2 * MARGIN
-        if (kd_n * ci_p * lc * itemsize + 2 * mg * lc * itemsize +
-                kd_n * ci_p * mg * 4) <= budget:
+        slab = kd_n * ci_p * lc * itemsize
+        gbuf = mg * max(lc, hc * w) * itemsize
+        a_all = (K * kd_n * ci_p * hc * w * itemsize) if mid else 0
+        out = (K if mid else 1) * kd_n * ci_p * mg * 4
+        if slab + gbuf + a_all + out + mg * lc * itemsize <= budget:
             return hc
     return None
 
@@ -420,6 +423,126 @@ def _expand_g_stem(g, co, mg, dt):
     ge = ge.reshape(n, d, K * co, (h + 2 * P) * w)
     ge = jnp.pad(ge, ((0, 0), (0, 0), (0, mg - K * co), (0, 0)))
     return _pad_flat(ge).astype(dt)
+
+
+def _wgrad_mid_kernel(xt_ref, ge_ref, out_ref, slab, gbuf, sems,
+                      *, kd_n, ci_p, mg, hc, w, lc):
+    """Square-conv weight gradient (e.g. the decoder's 32->32 conv,
+    whose XLA wgrad ran 102 ms/step on the VPU).
+
+    ge_ref: HBM [N, D, (kw, co), H*W] — g pre-shifted by (kw-2) along W
+        host-side (5x expansion instead of the head path's 25x, which
+        would not fit HBM for co=32). kh taps come from ALIGNED lane
+        slices of the x slab at offsets MARGIN + kh*W, so no in-kernel
+        masks or rotates are needed; each program's window sums exactly
+        its own g rows. For W < 128, rows are padded host-side to a
+        128-lane stride: the padded ge columns are zero, so they add
+        nothing to dw and the slab's kh offsets stay aligned.
+    out_ref: VMEM [5(kh), KD*Ci', (kw, co)] f32, accumulated in place.
+    """
+    n = pl.program_id(0)
+    d = pl.program_id(1)
+    hi = pl.program_id(2)
+
+    cx = pltpu.make_async_copy(
+        xt_ref.at[n, pl.ds(d, kd_n), :, pl.ds(hi * hc * w, lc)],
+        slab, sems.at[0])
+    cg = pltpu.make_async_copy(
+        ge_ref.at[n, d, :, pl.ds(hi * hc * w, hc * w)], gbuf,
+        sems.at[1])
+    cx.start()
+    cg.start()
+    cx.wait()
+    cg.wait()
+
+    first = jnp.logical_and(
+        jnp.logical_and(n == 0, d == 0), hi == 0)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # one matmul for all 5 kh taps: stacking the aligned slab slices
+    # into [(kh, kd, ci), hc*W] costs a VMEM copy but drops the MXU
+    # pass count from 5*ceil(Kx/128)*ceil(Mg/128) to
+    # ceil(5*Kx/128)*ceil(Mg/128) (20 -> 14 for the 32->32 conv)
+    a_all = jnp.concatenate(
+        [slab[:, :, MARGIN + kh * w:MARGIN + kh * w + hc * w]
+         .reshape(kd_n * ci_p, hc * w) for kh in range(K)], axis=0)
+    partial = jax.lax.dot_general(
+        a_all, gbuf[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [(kh, kd, ci), Mg]
+    out_ref[:] = out_ref[:] + partial.reshape(K, kd_n * ci_p, mg)
+
+
+def _expand_g_kw(g, co, ws, dt):
+    """[N, D, (kw, co), H*ws]: g shifted by (kw-2) along W, zeros at the
+    W edges (the SAME mask), channels kept off the minor axis, each
+    image row padded to the ws lane stride."""
+    n, d, h, w, _ = g.shape
+    gt = jnp.transpose(g, (0, 1, 4, 2, 3))  # [N, D, co, H, W]
+    gp = jnp.pad(gt, ((0, 0), (0, 0), (0, 0), (0, 0), (P, P)))
+    chans = [gp[:, :, :, :, 2 * P - kw:2 * P - kw + w]
+             for kw in range(K)]
+    ge = jnp.stack(chans, axis=2)  # [N, D, 5, co, H, W]
+    ge = jnp.pad(ge, ((0, 0),) * 5 + ((0, ws - w),))
+    return ge.reshape(n, d, K * co, h * ws).astype(dt)
+
+
+def _wgrad_mid_ok(x_shape, ci, co, dtype):
+    d, h, w = x_shape[1:4]
+    ws = max(w, 128)
+    ci_p = _round_up(ci, _sublane(dtype))
+    return (ci <= 64 and co <= 64 and w % 32 == 0 and ws % w == 0 and
+            _pick_hc_wgrad(h, ws, ci_p, K * co, K,
+                           jnp.dtype(dtype).itemsize, mid=True)
+            is not None)
+
+
+def _conv5_wgrad_mid_pallas(x, g, *, interpret=False):
+    n, d, h, ww, ci = x.shape
+    co = g.shape[-1]
+    dt = x.dtype
+    ci_p = _round_up(ci, _sublane(dt))
+    mg = K * co
+    ws = max(ww, 128) if not interpret else ww  # pad rows to lane stride
+
+    xt = jnp.transpose(x, (0, 1, 4, 2, 3))
+    xt = jnp.pad(xt, ((0, 0), (P, P), (0, ci_p - ci), (P, P),
+                      (0, ws - ww)))
+    xt = _pad_flat(xt.reshape(n, d + 2 * P, ci_p, (h + 2 * P) * ws))
+    ge = _expand_g_kw(g, co, ws, dt)
+
+    hc = _pick_hc_wgrad(h, ws, ci_p, mg, K, jnp.dtype(dt).itemsize,
+                        align=not interpret, mid=True)
+    lc = (hc + 4) * ws + 2 * MARGIN
+    kernel = functools.partial(
+        _wgrad_mid_kernel, kd_n=K, ci_p=ci_p, mg=mg, hc=hc, w=ws, lc=lc)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, d, h // hc),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (K, K * ci_p, mg), lambda ni, di, hi: (0, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, K * ci_p, mg), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((K, ci_p, lc), dt),
+            pltpu.VMEM((mg, hc * ws), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * K * ci_p * K * mg * hc * ws * n * d * (h // hc),
+            bytes_accessed=(xt.size + ge.size) * jnp.dtype(dt).itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(xt, ge)
+
+    # [kh, kd, ci_p, kw, co] -> [kd, kh, kw, ci, co]
+    dw = out.reshape(K, K, ci_p, K, co)[:, :, :ci]
+    return jnp.transpose(dw, (1, 0, 3, 2, 4))
 
 
 def _conv5_wgrad_pallas(x, g, kind, *, interpret=False):
@@ -528,6 +651,9 @@ def _conv5_bwd(kind, interpret, res, g):
     if wgrad_ok:
         dw = _conv5_wgrad_pallas(x, g, kind,
                                  interpret=interpret).astype(w.dtype)
+    elif kind == "head" and _wgrad_mid_ok(x.shape, ci, co, dt):
+        dw = _conv5_wgrad_mid_pallas(
+            x, g, interpret=interpret).astype(w.dtype)
     else:
         dw = jax.vjp(lambda w_: _conv5_xla(x, w_, b), w)[1](g)[0]
     db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2, 3)).astype(

@@ -154,3 +154,26 @@ def test_head_kernel_w64_and_chunked_co():
                                atol=2e-2, rtol=2e-2)
     # odd W stays ineligible
     assert not pc.head_eligible((1, 4, 8, 48, 16), 16, 32)
+
+
+def test_mid_wgrad_matches_xla_vjp():
+    """The square-conv (mid) Pallas wgrad: co too wide for the
+    25x-expanded path routes to the kw-expanded kernel."""
+    rng = np.random.RandomState(9)
+    ci, co = 8, 24  # co > 16 -> mid wgrad path
+    x = jnp.asarray(rng.randn(1, 4, 8, 128, ci).astype(np.float32))
+    k = jnp.asarray((rng.randn(5, 5, 5, ci, co) /
+                     np.sqrt(125 * ci)).astype(np.float32))
+    b = jnp.asarray(rng.randn(co).astype(np.float32))
+    g = jnp.asarray(rng.randn(1, 4, 8, 128, co).astype(np.float32))
+
+    def f_pal(k_):
+        return jnp.vdot(pc.conv5(x, k_, b, "head", True), g)
+
+    def f_xla(k_):
+        return jnp.vdot(pc._conv5_xla(x, k_, b), g)
+
+    gp = jax.grad(f_pal)(k)
+    gx = jax.grad(f_xla)(k)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               atol=5e-3, rtol=5e-3)
