@@ -612,6 +612,85 @@ def _conv5_wgrad_pallas(x, g, kind, *, interpret=False):
 
 
 # ----------------------------------------------------------------------
+# SPMD partitioning: shard the kernels over the batch axis under pjit
+# ----------------------------------------------------------------------
+from jax.experimental.custom_partitioning import custom_partitioning  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec  # noqa: E402
+
+
+def _batch_axis(arg_info):
+    s = getattr(arg_info, "sharding", None)
+    if not isinstance(s, NamedSharding) or not len(s.spec):
+        return None
+    return s.spec[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _cp_batchmap(kind, interpret):
+    """Batch-partitioned kernel entry: without this, the SPMD
+    partitioner treats the Pallas custom call as unshardable and
+    REPLICATES it (all-gathering the global batch onto every device —
+    verified on an 8-device mesh). Each shard runs the kernel on its
+    local batch; weights stay replicated."""
+    impl = {"head": _conv5_head_pallas,
+            "stem": _conv5_stem_pallas}[kind]
+
+    def call(x, w, b):
+        return impl(x, w, b, interpret=interpret)
+
+    fn = custom_partitioning(call)
+
+    def infer(mesh, arg_infos, result_infos):
+        return NamedSharding(mesh,
+                             PartitionSpec(_batch_axis(arg_infos[0])))
+
+    def part(mesh, arg_infos, result_infos):
+        batch = _batch_axis(arg_infos[0])
+        repl = NamedSharding(mesh, PartitionSpec())
+        x_sh = NamedSharding(mesh, PartitionSpec(batch))
+        return mesh, call, NamedSharding(mesh, PartitionSpec(batch)), \
+            (x_sh, repl, repl)
+
+    fn.def_partition(infer_sharding_from_operands=infer, partition=part,
+                     sharding_rule="n d h w i, a b c i o, o -> n d h w o")
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _cp_wgrad(which, kind, interpret):
+    """Batch-partitioned weight gradient: per-shard partial dw summed
+    with a psum over the batch mesh axes."""
+    if which == "mid":
+        def impl(x, g):
+            return _conv5_wgrad_mid_pallas(x, g, interpret=interpret)
+    else:
+        def impl(x, g):
+            return _conv5_wgrad_pallas(x, g, kind, interpret=interpret)
+
+    fn = custom_partitioning(impl)
+
+    def infer(mesh, arg_infos, result_infos):
+        return NamedSharding(mesh, PartitionSpec())
+
+    def part(mesh, arg_infos, result_infos):
+        batch = _batch_axis(arg_infos[0])
+        x_sh = NamedSharding(mesh, PartitionSpec(batch))
+        repl = NamedSharding(mesh, PartitionSpec())
+
+        def lower(x, g):
+            dw = impl(x, g)
+            if batch is not None:
+                dw = jax.lax.psum(dw, batch)
+            return dw
+
+        return mesh, lower, repl, (x_sh, x_sh)
+
+    fn.def_partition(infer_sharding_from_operands=infer, partition=part,
+                     sharding_rule="n d h w i, n d h w o -> a b c i o")
+    return fn
+
+
+# ----------------------------------------------------------------------
 # public op with Pallas backward (XLA-vjp fallback)
 # ----------------------------------------------------------------------
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -622,9 +701,7 @@ def conv5(x, w, b, kind="head", interpret=False):
         x: [N, D, H, W, Ci]; w: [5, 5, 5, Ci, Co]; b: [Co].
         kind: 'head' (general Ci, small Co) or 'stem' (C_in=1).
     """
-    if kind == "stem":
-        return _conv5_stem_pallas(x, w, b, interpret=interpret)
-    return _conv5_head_pallas(x, w, b, interpret=interpret)
+    return _cp_batchmap(kind, interpret)(x, w, b)
 
 
 def _conv5_fwd(x, w, b, kind, interpret):
@@ -641,19 +718,17 @@ def _conv5_bwd(kind, interpret, res, g):
     # dx is a 5^3 SAME conv of g (Ci=co -> Co=ci)
     if _head_ok(g.shape, co, ci, dt, 64):
         wflip = jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
-        dx = _conv5_head_pallas(g, wflip, jnp.zeros((ci,), dt),
-                                interpret=interpret).astype(x.dtype)
+        dx = _cp_batchmap("head", interpret)(
+            g, wflip, jnp.zeros((ci,), dt)).astype(x.dtype)
     else:
         dx = jax.vjp(lambda x_: _conv5_xla(x_, w, b), x)[1](g)[0]
     # dw: the lane-contraction kernel; Mg = 25*co rows must stay modest
     wgrad_ok = (_head_ok(x.shape, ci, co, dt, 16) if kind == "head"
                 else stem_eligible(x.shape, ci, co, dt))
     if wgrad_ok:
-        dw = _conv5_wgrad_pallas(x, g, kind,
-                                 interpret=interpret).astype(w.dtype)
+        dw = _cp_wgrad("std", kind, interpret)(x, g).astype(w.dtype)
     elif kind == "head" and _wgrad_mid_ok(x.shape, ci, co, dt):
-        dw = _conv5_wgrad_mid_pallas(
-            x, g, interpret=interpret).astype(w.dtype)
+        dw = _cp_wgrad("mid", kind, interpret)(x, g).astype(w.dtype)
     else:
         dw = jax.vjp(lambda w_: _conv5_xla(x, w_, b), w)[1](g)[0]
     db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2, 3)).astype(

@@ -177,3 +177,34 @@ def test_mid_wgrad_matches_xla_vjp():
     gx = jax.grad(f_xla)(k)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                atol=5e-3, rtol=5e-3)
+
+
+def test_conv5_batch_sharded_partitioning():
+    """Under a batch-sharded pjit the custom_partitioning rules shard
+    the kernel over the batch axis (not replicate it), keep the output
+    batch-sharded, and psum the weight gradient."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(8, 4, 8, 128, 8).astype(np.float32))
+    k = jnp.asarray((rng.randn(5, 5, 5, 8, 3) / np.sqrt(1000)).astype(
+        np.float32))
+    b = jnp.asarray(rng.randn(3).astype(np.float32))
+    xs = jax.device_put(x, NamedSharding(mesh, PS("data")))
+
+    f = jax.jit(lambda x, k, b: pc.conv5(x, k, b, "head", True))
+    out = f(xs, k, b)
+    assert out.sharding.spec == PS("data"), out.sharding
+    np.testing.assert_allclose(np.asarray(out), np.asarray(f(x, k, b)),
+                               atol=1e-5, rtol=1e-5)
+
+    # grads: sharded == unsharded (wgrad psum across shards)
+    def loss(x, k, b):
+        return jnp.sum(pc.conv5(x, k, b, "head", True) ** 2)
+
+    g_sh = jax.jit(jax.grad(loss, argnums=(1, 2)))(xs, k, b)
+    g_un = jax.jit(jax.grad(loss, argnums=(1, 2)))(x, k, b)
+    for a, c in zip(g_sh, g_un):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-4, rtol=1e-4)
