@@ -99,7 +99,13 @@ def main(args):
     jitted = jax.jit(forward)
     try:
         from jax import export as jax_export
-        exported = jax_export.export(jitted)(variables, sample)
+        # Pallas kernels (head_conv/mid_conv='pallas') serialize as
+        # Mosaic custom calls; allowlist them for the safety check (the
+        # artifact stays portable across same-generation TPU runtimes).
+        checks = [jax_export.DisabledSafetyCheck.custom_call(t)
+                  for t in ("tpu_custom_call", "mosaic_cpu")]
+        exported = jax_export.export(
+            jitted, disabled_checks=checks)(variables, sample)
         blob = exported.serialize()
         with open(os.path.join(args.save_dir, "model.stablehlo"),
                   "wb") as f:
