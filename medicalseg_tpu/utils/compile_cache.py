@@ -12,6 +12,17 @@ import os
 def enable_compile_cache(cache_dir=None):
     import jax
 
+    # Backend override for every CLI: JAX_PLATFORMS is ignored when a
+    # TPU plugin force-appends itself to jax_platforms, so honor an
+    # explicit MEDSEG_PLATFORM (e.g. "cpu" to run a CLI off-TPU while
+    # the chip is busy or unreachable).
+    platform = os.environ.get("MEDSEG_PLATFORM")
+    if platform:
+        try:
+            jax.config.update("jax_platforms", platform)
+        except Exception:
+            pass
+
     if cache_dir is None:
         cache_dir = os.environ.get(
             "MEDSEG_COMPILE_CACHE",

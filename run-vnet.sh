@@ -4,7 +4,9 @@
 # via jax.devices() instead of CUDA_VISIBLE_DEVICES)
 set -e
 
-yml=vnet_lung_coronavirus_128_128_128_15k
+# On TPU, prefer the production variant (bf16 + remat + Pallas MXU
+# convs): yml=vnet_lung_coronavirus_128_128_128_15k_tpu
+yml=${VNET_CONFIG:-vnet_lung_coronavirus_128_128_128_15k}
 save_dir_all=saved_model
 save_dir=saved_model/${yml}
 mkdir -p $save_dir
