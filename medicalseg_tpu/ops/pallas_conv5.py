@@ -104,7 +104,7 @@ def _pick_hc(h, w, ci_p, co_p, kd_n, itemsize, fold_kw,
         if h % hc or (align and (hc * w) % 128):
             continue
         lc = (hc + 4) * w + 2 * MARGIN
-        slab = kd_n * ci_p * lc * itemsize
+        slab = 2 * kd_n * ci_p * lc * itemsize  # double-buffered
         acc = m * lc * 4
         res = co_p * hc * w * 4
         out = co_p * hc * w * itemsize * 2  # double-buffered out block
@@ -149,21 +149,41 @@ def _conv5_kernel(xt_ref, lhs_ref, b_ref, out_ref, slab, sem,
     lhs_ref: VMEM [(25 if fold_kw else 5)*Co', KD*Ci']
     b_ref: VMEM [Co', 1]
     out_ref: VMEM block [1, 1, Co', hc*W]
-    slab: VMEM scratch [KD, Ci', lc]; slab column c holds flattened
-        spatial position (hi*hc*W + c - MARGIN) of the (H+4)-padded
-        volume, so output voxel q sits at column q + MARGIN.
+    slab: VMEM scratch [2, KD, Ci', lc], double-buffered across grid
+        steps (scratch persists between programs): program p waits on
+        the slab its predecessor prefetched into slot p%2 and starts
+        the DMA for p+1 into the other slot before computing. Slab
+        column c holds flattened spatial position (hi*hc*W + c -
+        MARGIN) of the (H+4)-padded volume, so output voxel q sits at
+        column q + MARGIN.
     """
     n = pl.program_id(0)
     d = pl.program_id(1)
     hi = pl.program_id(2)
+    d_n = pl.num_programs(1)
+    hi_n = pl.num_programs(2)
+    pid = (n * d_n + d) * hi_n + hi
+    slot = jax.lax.rem(pid, 2)
 
-    copy = pltpu.make_async_copy(
-        xt_ref.at[n, pl.ds(d, kd_n), :, pl.ds(hi * hc * w, lc)],
-        slab, sem)
-    copy.start()
-    copy.wait()
+    def dma(p, s):
+        n_ = p // (d_n * hi_n)
+        d_ = jax.lax.rem(p // hi_n, d_n)
+        hi_ = jax.lax.rem(p, hi_n)
+        return pltpu.make_async_copy(
+            xt_ref.at[n_, pl.ds(d_, kd_n), :, pl.ds(hi_ * hc * w, lc)],
+            slab.at[s], sem.at[s])
 
-    rhs = slab[:].reshape(kd_n * ci_p, lc)
+    @pl.when(pid == 0)
+    def _():
+        dma(pid, slot).start()
+
+    @pl.when(pid + 1 < pl.num_programs(0) * d_n * hi_n)
+    def _():
+        dma(pid + 1, 1 - slot).start()
+
+    dma(pid, slot).wait()
+
+    rhs = slab[slot].reshape(kd_n * ci_p, lc)
     cc = _co_chunk(co_p, fold_kw)
     m_rows = (K * K if fold_kw else K) * cc
     qw = (jax.lax.broadcasted_iota(jnp.int32, (cc, hc * w), 1) % w
@@ -231,8 +251,8 @@ def _run_conv5(xt, lhs, bias, *, n, d_out, h, w, kd_n, ci_p, co_p,
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, d_out, co_p, h * w), dtype),
         scratch_shapes=[
-            pltpu.VMEM((kd_n, ci_p, lc), dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, kd_n, ci_p, lc), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
