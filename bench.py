@@ -41,7 +41,8 @@ def _sync(x):
     return np.asarray(leaf).ravel()[0]
 
 
-def bench_pipeline(n_volumes=20, raw_shape=(200, 512, 512), iters=3):
+def bench_pipeline(n_volumes=20, raw_shape=(200, 512, 512), iters=3,
+                   size=128):
     import jax
     import jax.numpy as jnp
 
@@ -50,9 +51,10 @@ def bench_pipeline(n_volumes=20, raw_shape=(200, 512, 512), iters=3):
     from medicalseg_tpu.models import VNet
     import optax
 
+    conv = "pallas" if jax.default_backend() == "tpu" else "default"
     model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
-                 head_conv="pallas", mid_conv="pallas")
-    sample = jnp.zeros((1, 128, 128, 128, 1), jnp.float32)
+                 head_conv=conv, mid_conv=conv)
+    sample = jnp.zeros((1, size, size, size, 1), jnp.float32)
     state = TrainState.create(model, optax.sgd(1e-3), sample,
                               jax.random.PRNGKey(0))
     variables = state.variables
@@ -60,7 +62,7 @@ def bench_pipeline(n_volumes=20, raw_shape=(200, 512, 512), iters=3):
     @jax.jit
     def pipeline(variables, raw):
         # fused pallas HU-window + D-resize, then H/W einsums
-        vol = ops.hu_norm_resize(raw, (128, 128, 128))
+        vol = ops.hu_norm_resize(raw, (size, size, size))
         vol = vol / jnp.maximum(jnp.max(vol), 1e-6)
         logits = model.apply(variables, vol[None, ..., None],
                              train=False)[0]
@@ -84,9 +86,9 @@ def bench_pipeline(n_volumes=20, raw_shape=(200, 512, 512), iters=3):
     return best
 
 
-def _make_pipeline_fn():
+def _make_pipeline_fn(size=128):
     """(variables, jitted raw->pred fn) for the HUnorm+resample+VNet
-    pipeline at 128^3."""
+    pipeline at `size`^3 (64 on the CPU smoke path)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -95,15 +97,16 @@ def _make_pipeline_fn():
     from medicalseg_tpu.core.state import TrainState
     from medicalseg_tpu.models import VNet
 
+    conv = "pallas" if jax.default_backend() == "tpu" else "default"
     model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
-                 head_conv="pallas", mid_conv="pallas")
-    sample = jnp.zeros((1, 128, 128, 128, 1), jnp.float32)
+                 head_conv=conv, mid_conv=conv)
+    sample = jnp.zeros((1, size, size, size, 1), jnp.float32)
     state = TrainState.create(model, optax.sgd(1e-3), sample,
                               jax.random.PRNGKey(0))
 
     @jax.jit
     def pipeline(variables, raw):
-        vol = ops.hu_norm_resize(raw, (128, 128, 128))
+        vol = ops.hu_norm_resize(raw, (size, size, size))
         vol = vol / jnp.maximum(jnp.max(vol), 1e-6)
         logits = model.apply(variables, vol[None, ..., None],
                              train=False)[0]
@@ -130,7 +133,7 @@ def _write_bench_volumes(tmpdir, n, raw_shape, niigz):
 
 
 def bench_pipeline_disk(n_volumes=20, raw_shape=(200, 512, 512),
-                        n_files=4, niigz_volumes=4):
+                        n_files=4, niigz_volumes=4, size=128):
     """End-to-end volumes/sec from DISK: file read + host->device + the
     full device pipeline. Returns (npy_vps, niigz_vps).
 
@@ -140,7 +143,7 @@ def bench_pipeline_disk(n_volumes=20, raw_shape=(200, 512, 512),
     """
     import jax
 
-    variables, pipeline = _make_pipeline_fn()
+    variables, pipeline = _make_pipeline_fn(size=size)
 
     with tempfile.TemporaryDirectory() as tmpdir:
         npy_paths, nii_paths = _write_bench_volumes(
@@ -177,7 +180,56 @@ def bench_pipeline_disk(n_volumes=20, raw_shape=(200, 512, 512),
     return npy_vps, niigz_vps
 
 
-def bench_train(batch=1, iters=10, remat=True, steps_per_dispatch=1):
+def bench_pipeline_batched(batch=4, n_volumes=20,
+                           raw_shape=(200, 512, 512), iters=3):
+    """Device-resident serving with `batch` volumes per dispatch:
+    amortizes the per-call dispatch overhead (~80 ms through the axon
+    tunnel) and keeps the MXU fed with batched convs."""
+    import jax
+    import jax.numpy as jnp
+
+    from medicalseg_tpu import ops
+    from medicalseg_tpu.core.state import TrainState
+    from medicalseg_tpu.models import VNet
+    import optax
+
+    conv = "pallas" if jax.default_backend() == "tpu" else "default"
+    model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
+                 head_conv=conv, mid_conv=conv)
+    sample = jnp.zeros((batch, 128, 128, 128, 1), jnp.float32)
+    state = TrainState.create(model, optax.sgd(1e-3), sample,
+                              jax.random.PRNGKey(0))
+    variables = state.variables
+
+    @jax.jit
+    def pipeline(variables, raws):
+        def prep(raw):
+            vol = ops.hu_norm_resize(raw, (128, 128, 128))
+            return vol / jnp.maximum(jnp.max(vol), 1e-6)
+
+        vols = jax.vmap(prep)(raws)
+        logits = model.apply(variables, vols[..., None],
+                             train=False)[0]
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    rng = np.random.RandomState(0)
+    raws = jnp.asarray(rng.uniform(-1200, 600, (batch,) + raw_shape)
+                       .astype(np.float32))
+    _sync(pipeline(variables, raws))
+
+    n_calls = max(1, n_volumes // batch)
+    best = 0.0
+    for _ in range(iters):
+        t0 = time.time()
+        for _ in range(n_calls):
+            out = pipeline(variables, raws)
+        _sync(out)
+        best = max(best, n_calls * batch / (time.time() - t0))
+    return best
+
+
+def bench_train(batch=1, iters=10, remat=True, steps_per_dispatch=1,
+                size=128):
     import jax
     import jax.numpy as jnp
     import optax
@@ -189,8 +241,9 @@ def bench_train(batch=1, iters=10, remat=True, steps_per_dispatch=1):
     from medicalseg_tpu.transforms import (DeviceAugmentor, RandomFlip3D,
                                            RandomResizedCrop3D)
 
+    conv = "pallas" if jax.default_backend() == "tpu" else "default"
     model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
-                 remat=remat, head_conv="pallas", mid_conv="pallas")
+                 remat=remat, head_conv=conv, mid_conv=conv)
     losses = {"types": [MixedLoss([CrossEntropyLoss(), DiceLoss()],
                                   [1.0, 1.0])], "coef": [1]}
     schedule = optax.polynomial_schedule(1e-3, 0.0, 0.9, 15000)
@@ -198,7 +251,7 @@ def bench_train(batch=1, iters=10, remat=True, steps_per_dispatch=1):
                      optax.sgd(schedule, momentum=0.9))
 
     aug = DeviceAugmentor([
-        RandomResizedCrop3D(size=128, scale=(0.8, 1.2)),
+        RandomResizedCrop3D(size=size, scale=(0.8, 1.2)),
         RandomFlip3D()])
     n = max(1, int(steps_per_dispatch))
     if n > 1:
@@ -211,15 +264,15 @@ def bench_train(batch=1, iters=10, remat=True, steps_per_dispatch=1):
             make_train_step(losses, augment_fn=aug._augment_batch),
             donate_argnums=(0,))
 
-    sample = jnp.zeros((batch, 128, 128, 128, 1), jnp.float32)
+    sample = jnp.zeros((batch, size, size, size, 1), jnp.float32)
     state = TrainState.create(model, tx, sample, jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)
     lead = (n, batch) if n > 1 else (batch,)
-    images = jnp.asarray(rng.rand(*lead, 128, 128, 128).astype(
+    images = jnp.asarray(rng.rand(*lead, size, size, size).astype(
         np.float32) * 255)
     labels = jnp.asarray(rng.randint(
-        0, 3, lead + (128, 128, 128)).astype(np.int32))
+        0, 3, lead + (size, size, size)).astype(np.int32))
     key = jax.random.PRNGKey(1)
 
     state, m = step(state, images, labels, key)  # compile
@@ -238,34 +291,51 @@ def main():
 
     import jax
 
-    # persistent compile cache: VNet programs take minutes to compile via
-    # the remote helper; repeated bench runs should reuse them
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # persistent compile cache (VNet programs take minutes to compile
+    # via the remote helper) + MEDSEG_PLATFORM backend override
+    from medicalseg_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
     backend = jax.devices()[0].platform
     small = backend == "cpu"
     raw_shape = (64, 128, 128) if small else (200, 512, 512)
+    size = 64 if small else 128  # 128^3 VNet is too slow for 1 CPU core
 
+    import sys
+
+    def _note(msg):
+        print("# bench: " + msg, file=sys.stderr, flush=True)
+
+    _note("disk pipeline ({} backend, size {})".format(backend, size))
     disk_vps, niigz_vps = bench_pipeline_disk(
         n_volumes=4 if small else 20, raw_shape=raw_shape,
-        n_files=2 if small else 4, niigz_volumes=2 if small else 4)
+        n_files=2 if small else 4, niigz_volumes=2 if small else 4,
+        size=size)
+    _note("device-resident pipeline")
     device_vps = bench_pipeline(
         n_volumes=4 if small else 20, raw_shape=raw_shape,
-        iters=1 if small else 3)
+        iters=1 if small else 3, size=size)
+    _note("batched pipeline")
+    batched_vps = 0.0
+    if not small:  # a second 128^3 VNet compile is too slow for 1 CPU
+        try:
+            batched_vps = bench_pipeline_batched(
+                batch=4, n_volumes=20, raw_shape=raw_shape, iters=3)
+        except Exception as e:
+            print("# batched bench failed: {}".format(e))
+    _note("train step")
     try:
         train_pps = bench_train(batch=1 if small else 2,
-                                iters=2 if small else 10)
+                                iters=2 if small else 10, size=size)
     except Exception as e:
         print("# train bench failed: {}".format(e))
         train_pps = 0.0
+    _note("multi-step train")
     try:
         train_pps_multi = bench_train(
             batch=1 if small else 2, iters=1 if small else 4,
-            steps_per_dispatch=2 if small else 8)
+            steps_per_dispatch=2 if small else 8, size=size)
     except Exception as e:
         print("# multi-step train bench failed: {}".format(e))
         train_pps_multi = 0.0
@@ -279,6 +349,7 @@ def main():
         "vs_baseline": round(disk_vps / ref_gpu_preprocess_vps, 2),
         "niigz_e2e_vps": round(niigz_vps, 3),
         "device_resident_vps": round(device_vps, 3),
+        "device_resident_batched_vps": round(batched_vps, 3),
         "train_patches_per_sec_per_chip": round(train_pps, 3),
         "train_pps_multistep": round(train_pps_multi, 3),
         "backend": backend,
