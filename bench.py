@@ -331,14 +331,14 @@ def main():
     except Exception as e:
         print("# train bench failed: {}".format(e))
         train_pps = 0.0
-    _note("multi-step train")
-    try:
-        train_pps_multi = bench_train(
-            batch=1 if small else 2, iters=1 if small else 4,
-            steps_per_dispatch=2 if small else 8, size=size)
-    except Exception as e:
-        print("# multi-step train bench failed: {}".format(e))
-        train_pps_multi = 0.0
+    train_pps_multi = 0.0
+    if not small:  # a second (scanned) train compile; TPU-only
+        _note("multi-step train")
+        try:
+            train_pps_multi = bench_train(batch=2, iters=4,
+                                          steps_per_dispatch=8, size=size)
+        except Exception as e:
+            print("# multi-step train bench failed: {}".format(e))
 
     ref_gpu_preprocess_vps = 20 / 31.4  # BASELINE.md GPU path
     result = {
