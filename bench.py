@@ -115,8 +115,42 @@ def _make_pipeline_fn(size=128):
     return state.variables, pipeline
 
 
+def _make_preprocessed_pipeline_fn(size=128):
+    """(variables, jitted fn) over an ALREADY HU+resampled [size^3]
+    volume (any float dtype): /max normalize + VNet bf16 + argmax.
+
+    Pairs with the native C++ fused HU-window+resize
+    (data_native.load_hu_resize): the host ships a target-shaped bf16
+    tensor — 4.2 MB instead of a 210 MB raw scan — through the ~32 MB/s
+    tunnel, and the device finishes the pipeline."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from medicalseg_tpu.core.state import TrainState
+    from medicalseg_tpu.models import VNet
+
+    conv = "pallas" if jax.default_backend() == "tpu" else "default"
+    model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
+                 head_conv=conv, mid_conv=conv)
+    sample = jnp.zeros((1, size, size, size, 1), jnp.float32)
+    state = TrainState.create(model, optax.sgd(1e-3), sample,
+                              jax.random.PRNGKey(0))
+
+    @jax.jit
+    def pipeline(variables, vol):
+        vol = vol.astype(jnp.float32)
+        vol = vol / jnp.maximum(jnp.max(vol), 1e-6)
+        logits = model.apply(variables, vol[None, ..., None],
+                             train=False)[0]
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    return state.variables, pipeline
+
+
 def _write_bench_volumes(tmpdir, n, raw_shape, niigz):
-    """Synthesize raw CT volumes on disk: .npy always, .nii.gz option."""
+    """Synthesize raw CT volumes on disk: .npy always (f32, the phase-N
+    interchange format), .nii.gz as int16 HU (what CT scanners emit)."""
     from medicalseg_tpu.io import nifti
     rng = np.random.RandomState(0)
     npy_paths, nii_paths = [], []
@@ -127,15 +161,17 @@ def _write_bench_volumes(tmpdir, n, raw_shape, niigz):
         npy_paths.append(p)
         if niigz:
             pn = os.path.join(tmpdir, "vol{}.nii.gz".format(i))
-            nifti.write(pn, vol)
+            nifti.write(pn, vol.astype(np.int16))
             nii_paths.append(pn)
     return npy_paths, nii_paths
 
 
 def bench_pipeline_disk(n_volumes=20, raw_shape=(200, 512, 512),
                         n_files=4, niigz_volumes=4, size=128):
-    """End-to-end volumes/sec from DISK: file read + host->device + the
-    full device pipeline. Returns (npy_vps, niigz_vps).
+    """End-to-end volumes/sec from DISK: file read + fused native
+    HU+resize on host + bf16 wire + device /max+VNet+argmax, with a
+    two-stage prefetcher overlapping host prep, tunnel transfer and
+    device compute. Returns (npy_vps, niigz_vps, breakdown dict).
 
     n_files distinct volumes cycled n_volumes times (the OS page cache
     keeps them warm after the first epoch — representative of real
@@ -143,41 +179,69 @@ def bench_pipeline_disk(n_volumes=20, raw_shape=(200, 512, 512),
     """
     import jax
 
-    variables, pipeline = _make_pipeline_fn(size=size)
+    from medicalseg_tpu.core.prefetch import DevicePrefetcher
+
+    variables, pipeline = _make_preprocessed_pipeline_fn(size=size)
+    tsize = (size, size, size)
+    breakdown = {}
 
     with tempfile.TemporaryDirectory() as tmpdir:
         npy_paths, nii_paths = _write_bench_volumes(
             tmpdir, n_files, raw_shape, niigz=niigz_volumes > 0)
 
         # --- .npy via the native C++ loader ---------------------------
-        from medicalseg_tpu.data_native import NativeVolumeLoader
+        from medicalseg_tpu.data_native import (NativeVolumeLoader,
+                                                hu_resize_array)
         loader = NativeVolumeLoader(npy_paths, threads=2)
         # warmup: compile + touch every file once
         for i in range(n_files):
-            out = pipeline(variables, jax.device_put(loader.load_f32(i)))
+            vol = loader.load_hu_resize(i, tsize, out_dtype="bfloat16")
+            out = pipeline(variables, jax.device_put(vol))
         _sync(out)
 
+        # host-prep sub-timing (cache warm): fused read+HU+resize
         t0 = time.time()
-        for i in range(n_volumes):
-            raw = loader.load_f32(i % n_files)
-            out = pipeline(variables, jax.device_put(raw))
+        for i in range(n_files):
+            loader.load_hu_resize(i, tsize, out_dtype="bfloat16")
+        breakdown["host_prep_ms"] = round(
+            (time.time() - t0) / n_files * 1e3, 1)
+        breakdown["wire_mb"] = round(size ** 3 * 2 / 1e6, 2)
+
+        def produce():
+            for i in range(n_volumes):
+                yield loader.load_hu_resize(i % n_files, tsize,
+                                            out_dtype="bfloat16")
+
+        pf = DevicePrefetcher(produce(), depth=2)
+        t0 = time.time()
+        for vol in pf:
+            out = pipeline(variables, vol)
         _sync(out)
         npy_vps = n_volumes / (time.time() - t0)
 
-        # --- raw .nii.gz (host gzip decode dominates) ------------------
+        # --- raw .nii.gz (int16 HU; host gzip decode + fused prep) -----
         niigz_vps = 0.0
         if nii_paths:
             from medicalseg_tpu.io import nifti
-            _sync(pipeline(variables,
-                           jax.device_put(nifti.read(nii_paths[0])[0])))
+
+            def produce_nii():
+                for i in range(niigz_volumes):
+                    raw = nifti.read(nii_paths[i % len(nii_paths)])[0]
+                    yield hu_resize_array(
+                        np.ascontiguousarray(raw), tsize,
+                        out_dtype="bfloat16")
+
+            _sync(pipeline(variables, jax.device_put(
+                hu_resize_array(np.ascontiguousarray(
+                    nifti.read(nii_paths[0])[0]), tsize,
+                    out_dtype="bfloat16"))))
+            pf = DevicePrefetcher(produce_nii(), depth=2)
             t0 = time.time()
-            for i in range(niigz_volumes):
-                vol = nifti.read(nii_paths[i % len(nii_paths)])[0]
-                out = pipeline(variables,
-                               jax.device_put(np.ascontiguousarray(vol)))
+            for vol in pf:
+                out = pipeline(variables, vol)
             _sync(out)
             niigz_vps = niigz_volumes / (time.time() - t0)
-    return npy_vps, niigz_vps
+    return npy_vps, niigz_vps, breakdown
 
 
 def bench_pipeline_batched(batch=4, n_volumes=20,
@@ -203,11 +267,16 @@ def bench_pipeline_batched(batch=4, n_volumes=20,
 
     @jax.jit
     def pipeline(variables, raws):
-        def prep(raw):
+        def prep(_, raw):
             vol = ops.hu_norm_resize(raw, (128, 128, 128))
-            return vol / jnp.maximum(jnp.max(vol), 1e-6)
+            return None, vol / jnp.maximum(jnp.max(vol), 1e-6)
 
-        vols = jax.vmap(prep)(raws)
+        # sequential per-volume prep (lax.scan) instead of vmap: the
+        # vmapped variant materialized `batch` windowed full-volume
+        # intermediates at once and thrashed HBM (round-2 regression:
+        # batched 13.5 < unbatched 16.8 vps); scanning keeps prep peak
+        # memory at one volume while the forward still batches the MXU.
+        _, vols = jax.lax.scan(prep, None, raws)
         logits = model.apply(variables, vols[..., None],
                              train=False)[0]
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -308,10 +377,11 @@ def main():
         print("# bench: " + msg, file=sys.stderr, flush=True)
 
     _note("disk pipeline ({} backend, size {})".format(backend, size))
-    disk_vps, niigz_vps = bench_pipeline_disk(
+    disk_vps, niigz_vps, breakdown = bench_pipeline_disk(
         n_volumes=4 if small else 20, raw_shape=raw_shape,
         n_files=2 if small else 4, niigz_volumes=2 if small else 4,
         size=size)
+    _note("breakdown: {}".format(breakdown))
     _note("device-resident pipeline")
     device_vps = bench_pipeline(
         n_volumes=4 if small else 20, raw_shape=raw_shape,
@@ -352,6 +422,8 @@ def main():
         "device_resident_batched_vps": round(batched_vps, 3),
         "train_patches_per_sec_per_chip": round(train_pps, 3),
         "train_pps_multistep": round(train_pps_multi, 3),
+        "host_prep_ms": breakdown.get("host_prep_ms", 0.0),
+        "wire_mb_per_volume": breakdown.get("wire_mb", 0.0),
         "backend": backend,
     }
     print(json.dumps(result))

@@ -1,0 +1,100 @@
+# Copyright 2026. Apache License 2.0.
+"""Host->device prefetch pipeline.
+
+The round-2 measurement that motivates this module: the axon tunnel
+moves host arrays at ~32 MB/s, so a serial read -> device_put -> compute
+loop leaves the chip idle for seconds per volume (BENCH_r02: 0.206
+volumes/s against a 16.8 volumes/s device-resident ceiling). The fix is
+a two-stage pipeline:
+
+  produce (host decode/preprocess, C++ — releases the GIL)
+      -> put (jax.device_put, tunnel transfer)
+          -> consume (device compute, async dispatch)
+
+Each stage runs in its own thread with a bounded queue between, so
+volume k's compute overlaps k+1's transfer and k+2's host prep. The
+wire format is whatever the producer emits — pair it with the native
+fused HU+resize kernel (data_native.load_hu_resize) so the tunnel
+carries target-shaped bf16 tensors instead of raw scans.
+"""
+
+import queue
+import threading
+
+_DONE = object()
+
+
+class DevicePrefetcher:
+    """Iterate device-resident items ahead of the consumer.
+
+    Args:
+        producer: iterable (or generator) of host items — any pytree of
+            numpy arrays. Runs in its own thread.
+        sharding: optional jax sharding (or pytree of shardings) passed
+            to device_put.
+        depth: max items resident-but-unconsumed per stage (2 =
+            double-buffering).
+
+    Raises in the consumer any exception the producer hit. Call
+    ``close()`` (or exhaust it) to join the threads.
+    """
+
+    def __init__(self, producer, sharding=None, depth=2):
+        self._sharding = sharding
+        self._host_q = queue.Queue(maxsize=depth)
+        self._dev_q = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._threads = [
+            threading.Thread(target=self._produce, args=(producer,),
+                             daemon=True),
+            threading.Thread(target=self._put, daemon=True),
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _produce(self, producer):
+        try:
+            for item in producer:
+                if self._stop.is_set():
+                    return
+                self._q_put(self._host_q, item)
+        except Exception as e:  # surfaced on the consumer side
+            self._q_put(self._host_q, e)
+            return
+        self._q_put(self._host_q, _DONE)
+
+    def _put(self):
+        import jax
+        while not self._stop.is_set():
+            item = self._host_q.get()
+            if item is _DONE or isinstance(item, Exception):
+                self._q_put(self._dev_q, item)
+                return
+            try:
+                dev = jax.device_put(item, self._sharding)
+            except Exception as e:
+                self._q_put(self._dev_q, e)
+                return
+            self._q_put(self._dev_q, dev)
+
+    def _q_put(self, q, item):
+        while not self._stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return
+            except queue.Full:
+                continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._dev_q.get()
+        if item is _DONE:
+            raise StopIteration
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def close(self):
+        self._stop.set()

@@ -75,6 +75,11 @@ def make_train_step(losses: dict, augment_fn: Optional[Callable] = None,
     """
 
     def step(state, images, labels, key):
+        # widen wire dtypes on device: loaders may ship bf16 images /
+        # uint8 labels (4-8x fewer bytes through a slow host link);
+        # training math is f32/int32 regardless.
+        images = images.astype(jnp.float32)
+        labels = labels.astype(jnp.int32)
         aug_key, drop_key = jax.random.split(
             jax.random.fold_in(key, state.step))
         if augment_fn is not None:
@@ -145,10 +150,56 @@ def make_multi_step(losses: dict, n_steps: int,
     return multi
 
 
+def make_cached_train_step(losses: dict, n_steps: int = 1,
+                           augment_fn: Optional[Callable] = None,
+                           checkpoint_policy: Optional[str] = None,
+                           batch_sharding=None):
+    """Train step over a DEVICE-RESIDENT dataset cache.
+
+    Small medical datasets (the reference repeats the train list x10
+    because epochs are short, dataset.py:110-111) fit whole in HBM:
+    20 lung CT volumes at 128^3 bf16 are ~126 MB. Shipping the cache
+    once and indexing it on device removes the per-step host->device
+    batch transfer entirely — each dispatch carries only a [B] (or
+    [n_steps, B]) int32 index vector.
+
+    Returns step(state, cache_images, cache_labels, idx, key). The
+    cache arrays are arguments (not closure constants) so they live in
+    HBM once and are passed by reference every call. With ``n_steps >
+    1`` the step scans over idx rows — multi-step dispatch with a
+    ~100-byte upload per n optimizer updates.
+    """
+    base = make_train_step(losses, augment_fn=augment_fn,
+                           checkpoint_policy=checkpoint_policy)
+
+    def gather_step(state, cache_images, cache_labels, idx, key):
+        images = jnp.take(cache_images, idx, axis=0)
+        labels = jnp.take(cache_labels, idx, axis=0)
+        if batch_sharding is not None:
+            images = jax.lax.with_sharding_constraint(images,
+                                                      batch_sharding)
+            labels = jax.lax.with_sharding_constraint(labels,
+                                                      batch_sharding)
+        return base(state, images, labels, key)
+
+    if n_steps <= 1:
+        return gather_step
+
+    def multi(state, cache_images, cache_labels, idx, key):
+        def body(st, ix):
+            return gather_step(st, cache_images, cache_labels, ix, key)
+
+        return jax.lax.scan(body, state, idx)
+
+    return multi
+
+
 def make_eval_step(losses: dict):
     """Jitted eval forward: returns (logits_list, loss_list, pcd)."""
 
     def step(state, images, labels):
+        images = images.astype(jnp.float32)
+        labels = labels.astype(jnp.int32)
         logits_list = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             images, train=False)

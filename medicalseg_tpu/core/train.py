@@ -32,7 +32,9 @@ from ..utils import (TimeAverager, calculate_eta, logger, resume,
                      save_checkpoint, save_checkpoint_async,
                      train_profiler)
 from .loader import TrainLoader
-from .state import TrainState, make_multi_step, make_train_step
+from .prefetch import DevicePrefetcher
+from .state import (TrainState, make_cached_train_step, make_multi_step,
+                    make_train_step)
 from .val import evaluate
 
 
@@ -69,7 +71,8 @@ def train(model,
           space=1,
           data_loader_mode="auto",
           async_checkpoint=True,
-          steps_per_dispatch=1):
+          steps_per_dispatch=1,
+          wire_dtype="bfloat16"):
     """Launch training. Argument surface mirrors the reference
     (core/train.py:30-45); ``optimizer`` is an optax transformation and
     ``lr_scheduler`` the matching schedule (for logging)."""
@@ -83,10 +86,10 @@ def train(model,
     global_batch = batch_size * mesh.shape["data"]
     loader = TrainLoader(train_dataset, batch_size=global_batch,
                          shuffle=True, num_workers=num_workers, seed=seed,
-                         mode=data_loader_mode)
+                         mode=data_loader_mode, wire_dtype=wire_dtype)
 
     # --- build state ---------------------------------------------------
-    if loader.mode == "device":
+    if loader.mode in ("device", "device_cache"):
         dhw = _augmented_dhw(train_dataset)
         if dhw is None:
             img0, _ = train_dataset.raw_item(0)
@@ -148,7 +151,37 @@ def train(model,
             in_shardings=(repl, mesh_lib.stacked_sharding(mesh, img_sh),
                           mesh_lib.stacked_sharding(mesh, lab_sh), repl),
             donate_argnums=(0,))
+
+    # device-resident dataset cache: volumes live in HBM once; each
+    # dispatch ships only a [B] (or [n, B]) int32 index vector.
+    cache_img = cache_lab = None
+    jit_cached = jit_cached_multi = None
+    if loader.mode == "device_cache":
+        with mesh:
+            cache_img, cache_lab = loader.build_device_cache(repl)
+        jit_cached = jax.jit(
+            make_cached_train_step(losses, 1, augment_fn=augment_fn,
+                                   batch_sharding=lab_sh),
+            in_shardings=(repl, repl, repl, repl, repl),
+            donate_argnums=(0,))
+        if n_dispatch > 1:
+            jit_cached_multi = jax.jit(
+                make_cached_train_step(losses, n_dispatch,
+                                       augment_fn=augment_fn,
+                                       batch_sharding=lab_sh),
+                in_shardings=(repl, repl, repl, repl, repl),
+                donate_argnums=(0,))
     base_key = jax.random.PRNGKey(seed + 1)
+
+    # overlap host read + h2d with device compute: a background thread
+    # device_puts upcoming batches (double-buffered) so the chip never
+    # waits on the (slow) host link. Single-step dispatch path only —
+    # multi-step stacks batches with dispatch-boundary logic below, and
+    # device_cache ships no volumes at all.
+    prefetcher = None
+    if loader.mode in ("device", "host") and n_dispatch == 1:
+        prefetcher = DevicePrefetcher(iter(loader),
+                                      sharding=(img_sh, lab_sh))
 
     # commit the freshly-created state to its mesh sharding up front:
     # otherwise the first dispatch sees uncommitted inputs and the second
@@ -186,7 +219,27 @@ def train(model,
                 (it // save_interval + 1) * save_interval, iters)
             take = min(n_dispatch, boundary - it)
 
-            if jit_multi is not None and take == n_dispatch:
+            if loader.mode == "device_cache":
+                if jit_cached_multi is not None and take == n_dispatch:
+                    idx = np.stack([next(loader) for _ in range(take)])
+                    reader_cost_averager.record(time.time() - batch_start)
+                    state, metrics = jit_cached_multi(
+                        state, cache_img, cache_lab, idx, base_key)
+                    it += take
+                    pending.append(metrics)
+                    for _ in range(take):
+                        train_profiler.add_profiler_step(profiler_options)
+                else:
+                    for _ in range(take):
+                        idx = next(loader)
+                        reader_cost_averager.record(
+                            time.time() - batch_start)
+                        state, metrics = jit_cached(
+                            state, cache_img, cache_lab, idx, base_key)
+                        it += 1
+                        pending.append(metrics)
+                        train_profiler.add_profiler_step(profiler_options)
+            elif jit_multi is not None and take == n_dispatch:
                 batches = [next(loader) for _ in range(take)]
                 reader_cost_averager.record(time.time() - batch_start)
                 images = np.stack([b[0] for b in batches])
@@ -203,10 +256,13 @@ def train(model,
                     train_profiler.add_profiler_step(profiler_options)
             else:
                 for _ in range(take):
-                    images, labels = next(loader)
+                    if prefetcher is not None:
+                        images, labels = next(prefetcher)
+                    else:  # multi-step boundary remainder
+                        images, labels = next(loader)
+                        images, labels = mesh_lib.shard_batch(
+                            mesh, images, labels)
                     reader_cost_averager.record(time.time() - batch_start)
-                    images, labels = mesh_lib.shard_batch(mesh, images,
-                                                          labels)
                     state, metrics = jit_step(state, images, labels,
                                               base_key)
                     it += 1
@@ -319,6 +375,8 @@ def train(model,
             batch_start = time.time()
 
     loader.stop()
+    if prefetcher is not None:
+        prefetcher.close()
     if async_checkpoint and is_primary:
         from ..utils.checkpoint import wait_pending_checkpoints
         wait_pending_checkpoints()

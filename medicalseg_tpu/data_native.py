@@ -17,6 +17,53 @@ from .utils import logger
 _LIB = None
 _BUILD_FAILED = False
 
+# out_kind codes shared with native/medloader.cpp hu_resize_run; bf16 is
+# written into a uint16 buffer and viewed as ml_dtypes.bfloat16.
+_OUT_KINDS = {
+    "float32": (0, np.float32),
+    "bfloat16": (1, np.uint16),
+    "uint8": (2, np.uint8),
+}
+
+
+def _view_bf16(arr):
+    import ml_dtypes
+    return arr.view(ml_dtypes.bfloat16)
+
+
+def hu_resize_array(vol, size, hu_min=-1200.0, hu_max=600.0,
+                    hu_nan=-2000.0, out_dtype="float32", window=True,
+                    threads=0):
+    """Fused HU-window + trilinear resize of an in-memory volume
+    (float32 or int16 [D, H, W]) via the native kernel; matches
+    ops.hu_norm_resize / resize3d(order=1) numerics. Raises if the
+    native library is unavailable (callers fall back to the jnp path).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native medloader unavailable")
+    vol = np.ascontiguousarray(vol)
+    if vol.ndim != 3:
+        raise ValueError("expected [D, H, W], got {}".format(vol.shape))
+    od, oh, ow = (int(s) for s in size)
+    out_kind, np_dtype = _OUT_KINDS[out_dtype]
+    out = np.empty((od, oh, ow), np_dtype)
+    d, h, w = (int(s) for s in vol.shape)
+    args = (vol.ctypes.data_as(ctypes.c_void_p), d, h, w,
+            out.ctypes.data_as(ctypes.c_void_p), od, oh, ow,
+            hu_min, hu_max, hu_nan, out_kind, 1 if window else 0,
+            int(threads))
+    if vol.dtype == np.float32:
+        got = lib.ml_hu_resize_f32(*args)
+    elif vol.dtype == np.int16:
+        got = lib.ml_hu_resize_i16(*args)
+    else:
+        return hu_resize_array(vol.astype(np.float32), size, hu_min,
+                               hu_max, hu_nan, out_dtype, window, threads)
+    if got != od * oh * ow:
+        raise RuntimeError("ml_hu_resize failed")
+    return _view_bf16(out) if out_dtype == "bfloat16" else out
+
 
 def _lib_path():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -68,6 +115,23 @@ def get_lib():
         lib.ml_shape.restype = ctypes.c_int
         lib.ml_shape.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                  ctypes.POINTER(ctypes.c_longlong)]
+        lib.ml_load_u8.restype = ctypes.c_longlong
+        lib.ml_load_u8.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                   ctypes.POINTER(ctypes.c_uint8),
+                                   ctypes.c_longlong]
+        lib.ml_load_hu_resize.restype = ctypes.c_longlong
+        lib.ml_load_hu_resize.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.ml_hu_resize_f32.restype = ctypes.c_longlong
+        lib.ml_hu_resize_f32.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int]
+        lib.ml_hu_resize_i16.restype = ctypes.c_longlong
+        lib.ml_hu_resize_i16.argtypes = lib.ml_hu_resize_f32.argtypes
         _LIB = lib
     except Exception as e:  # pragma: no cover - toolchain missing
         logger.warning("native medloader unavailable ({}); falling back "
@@ -136,6 +200,18 @@ class NativeVolumeLoader:
             raise IOError("short read on {}".format(self._paths[idx]))
         return out
 
+    def load_u8(self, idx, out=None):
+        shape = self.shape(idx)
+        n = int(np.prod(shape))
+        if out is None:
+            out = np.empty(shape, np.uint8)
+        got = self._lib.ml_load_u8(
+            self._handle, int(idx),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n)
+        if got != n:
+            raise IOError("short read on {}".format(self._paths[idx]))
+        return out
+
     def load_batch(self, indices, dtype=np.float32):
         """Contiguous [N, ...] batch (all volumes must share a shape)."""
         shape = self.shape(indices[0])
@@ -144,9 +220,33 @@ class NativeVolumeLoader:
         for i, idx in enumerate(indices):
             if dtype == np.float32:
                 self.load_f32(idx, out[i])
+            elif dtype == np.uint8:
+                self.load_u8(idx, out[i])
             else:
                 self.load_i32(idx, out[i])
         return out
+
+    def load_hu_resize(self, idx, size, hu_min=-1200.0, hu_max=600.0,
+                       hu_nan=-2000.0, out_dtype="float32", window=True,
+                       threads=0, out=None):
+        """Fused HU-window + trilinear resize of volume ``idx`` to
+        ``size`` (d, h, w) — same math as ops.hu_norm_resize, run on the
+        host so only ``size``-shaped bytes cross the host->device wire.
+
+        out_dtype: 'float32' | 'bfloat16' | 'uint8'.
+        """
+        od, oh, ow = (int(s) for s in size)
+        out_kind, np_dtype = _OUT_KINDS[out_dtype]
+        if out is None:
+            out = np.empty((od, oh, ow), np_dtype)
+        got = self._lib.ml_load_hu_resize(
+            self._handle, int(idx), out.ctypes.data_as(ctypes.c_void_p),
+            od, oh, ow, hu_min, hu_max, hu_nan, out_kind,
+            1 if window else 0, int(threads))
+        if got != od * oh * ow:
+            raise IOError("hu_resize failed on {}".format(
+                self._paths[idx]))
+        return _view_bf16(out) if out_dtype == "bfloat16" else out
 
     def __del__(self):
         try:

@@ -13,6 +13,7 @@
 //
 // C ABI only (consumed via ctypes; no pybind11 in this image).
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -224,6 +225,142 @@ class Loader {
   std::string last_error_;
 };
 
+// ---------------------------------------------------------------------
+// Fused HU-window + separable trilinear resize
+// ---------------------------------------------------------------------
+// Mirrors medicalseg_tpu.ops.hu_norm_resize (pallas_kernels.py:108-122):
+// window first (NaN->hu_nan, clip to [hu_min,hu_max], scale to [0,255]),
+// then endpoint-aligned order-1 zoom (resize.py:_linear_matrix
+// convention: src = i * (in-1)/(out-1), lo clamped to in-2).
+//
+// The wire-format shrink for remote TPU ingest: a 200x512x512 f32 CT
+// scan (210 MB) becomes a 128^3 bf16 tensor (4.2 MB) before ever
+// touching jax.device_put — through a ~32 MB/s tunnel that is the
+// difference between 6.6 s and 0.13 s per volume.
+
+struct LerpAxis {
+  std::vector<int> lo;
+  std::vector<float> frac;
+};
+
+LerpAxis make_axis(int in, int out) {
+  LerpAxis ax;
+  ax.lo.resize(out);
+  ax.frac.resize(out);
+  double scale = (out == 1) ? 0.0 : (double)(in - 1) / (double)(out - 1);
+  int max_lo = in >= 2 ? in - 2 : 0;
+  for (int i = 0; i < out; ++i) {
+    double c = i * scale;
+    int lo = (int)c;
+    if (lo > max_lo) lo = max_lo;
+    if (lo < 0) lo = 0;
+    double f = c - lo;
+    // match _linear_matrix: weight on min(lo+1, in-1); when in==1 the
+    // +=frac lands back on lo so frac contributes to the same sample
+    ax.lo[i] = lo;
+    ax.frac[i] = (float)f;
+  }
+  return ax;
+}
+
+inline float hu_window(float x, float hu_min, float hu_max, float hu_nan,
+                       float inv_range) {
+  if (x != x) x = hu_nan;  // NaN
+  x = (x - hu_min) * inv_range;
+  if (x < 0.f) x = 0.f;
+  if (x > 1.f) x = 1.f;
+  return x * 255.f;
+}
+
+inline uint16_t f32_to_bf16(float v) {
+  uint32_t x;
+  memcpy(&x, &v, 4);
+  x += 0x7fffu + ((x >> 16) & 1u);  // round to nearest even
+  return (uint16_t)(x >> 16);
+}
+
+// One output-D slice: window+lerp two input slices (D pass), then H
+// pass, then W pass. scratch: row0/row1 (h*w) + t2 (oh*w).
+template <typename InT>
+void hu_resize_slice(const InT* in, int64_t d, int64_t h, int64_t w,
+                     int a, const LerpAxis& axd, const LerpAxis& axh,
+                     const LerpAxis& axw, float hu_min, float hu_max,
+                     float hu_nan, float* t1, float* t2, int oh, int ow,
+                     void* out, int out_kind, bool window) {
+  const float inv_range = 1.0f / (hu_max - hu_min);
+  const int64_t hw = h * w;
+  const InT* s0 = in + (int64_t)axd.lo[a] * hw;
+  const InT* s1 = in + (int64_t)std::min<int64_t>(axd.lo[a] + 1, d - 1) * hw;
+  const float fd = axd.frac[a];
+  const float one_fd = 1.f - fd;
+  if (window) {
+    for (int64_t j = 0; j < hw; ++j) {
+      float v0 = hu_window((float)s0[j], hu_min, hu_max, hu_nan, inv_range);
+      float v1 = hu_window((float)s1[j], hu_min, hu_max, hu_nan, inv_range);
+      t1[j] = one_fd * v0 + fd * v1;
+    }
+  } else {
+    for (int64_t j = 0; j < hw; ++j)
+      t1[j] = one_fd * (float)s0[j] + fd * (float)s1[j];
+  }
+  // H pass: t2[b][w] = lerp over rows of t1
+  for (int b = 0; b < oh; ++b) {
+    const float* r0 = t1 + (int64_t)axh.lo[b] * w;
+    const float* r1 = t1 + (int64_t)std::min<int64_t>(axh.lo[b] + 1,
+                                                      h - 1) * w;
+    const float fh = axh.frac[b];
+    const float one_fh = 1.f - fh;
+    float* dst = t2 + (int64_t)b * w;
+    for (int64_t c = 0; c < w; ++c) dst[c] = one_fh * r0[c] + fh * r1[c];
+  }
+  // W pass + store
+  const int64_t base = (int64_t)a * oh * ow;
+  for (int b = 0; b < oh; ++b) {
+    const float* src = t2 + (int64_t)b * w;
+    for (int c = 0; c < ow; ++c) {
+      int lo = axw.lo[c];
+      int hi = (int)std::min<int64_t>(lo + 1, w - 1);
+      float fw = axw.frac[c];
+      float v = (1.f - fw) * src[lo] + fw * src[hi];
+      int64_t o = base + (int64_t)b * ow + c;
+      if (out_kind == 0) ((float*)out)[o] = v;
+      else if (out_kind == 1) ((uint16_t*)out)[o] = f32_to_bf16(v);
+      else ((uint8_t*)out)[o] =
+          (uint8_t)(v < 0.f ? 0.f : (v > 255.f ? 255.f : v + 0.5f));
+    }
+  }
+}
+
+template <typename InT>
+void hu_resize_run(const InT* in, int64_t d, int64_t h, int64_t w,
+                   int od, int oh, int ow, float hu_min, float hu_max,
+                   float hu_nan, void* out, int out_kind, bool window,
+                   int nthreads) {
+  LerpAxis axd = make_axis((int)d, od);
+  LerpAxis axh = make_axis((int)h, oh);
+  LerpAxis axw = make_axis((int)w, ow);
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > od) nthreads = od;
+  std::atomic<int> next(0);
+  auto work = [&] {
+    std::vector<float> t1((size_t)h * w), t2((size_t)oh * w);
+    for (;;) {
+      int a = next.fetch_add(1);
+      if (a >= od) return;
+      hu_resize_slice(in, d, h, w, a, axd, axh, axw, hu_min, hu_max,
+                      hu_nan, t1.data(), t2.data(), oh, ow, out,
+                      out_kind, window);
+    }
+  };
+  if (nthreads == 1) {
+    work();
+  } else {
+    std::vector<std::thread> ts;
+    for (int i = 0; i < nthreads; ++i) ts.emplace_back(work);
+    for (auto& t : ts) t.join();
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -321,6 +458,107 @@ long long ml_load_i32(void* h, int idx, int32_t* out, long long out_len) {
     }
   }
   return count;
+}
+
+// Load volume `idx`, converted to uint8 (clamped [0,255]; used for
+// label volumes with < 256 classes so the tunnel ships 1 byte/voxel).
+long long ml_load_u8(void* h, int idx, uint8_t* out, long long out_len) {
+  std::string err;
+  auto vol = static_cast<Loader*>(h)->get(idx, &err);
+  if (!vol) return -1;
+  long long count = 1;
+  for (auto s : vol->shape) count *= s;
+  if (count > out_len) return -1;
+  auto clamp = [](double v) -> uint8_t {
+    if (v < 0) return 0;
+    if (v > 255) return 255;
+    return (uint8_t)v;
+  };
+  switch (vol->dtype) {
+    case 0: {
+      const float* src = (const float*)vol->data.data();
+      for (long long i = 0; i < count; ++i) out[i] = clamp(src[i]);
+      break;
+    }
+    case 1: {
+      const int32_t* src = (const int32_t*)vol->data.data();
+      for (long long i = 0; i < count; ++i) out[i] = clamp(src[i]);
+      break;
+    }
+    case 2: {
+      const int16_t* src = (const int16_t*)vol->data.data();
+      for (long long i = 0; i < count; ++i) out[i] = clamp(src[i]);
+      break;
+    }
+    case 3:
+      memcpy(out, vol->data.data(), count);
+      break;
+    case 4: {
+      const double* src = (const double*)vol->data.data();
+      for (long long i = 0; i < count; ++i) out[i] = clamp(src[i]);
+      break;
+    }
+    case 5: {
+      const int64_t* src = (const int64_t*)vol->data.data();
+      for (long long i = 0; i < count; ++i) out[i] = clamp((double)src[i]);
+      break;
+    }
+  }
+  return count;
+}
+
+// Fused HU-window + trilinear resize of cached volume `idx` to
+// (od, oh, ow). out_kind: 0=f32, 1=bf16 (uint16 payload), 2=uint8
+// (rounded). window=0 skips HU windowing (plain endpoint-aligned zoom).
+// Returns od*oh*ow, or -1 on error.
+long long ml_load_hu_resize(void* h, int idx, void* out, int od, int oh,
+                            int ow, float hu_min, float hu_max,
+                            float hu_nan, int out_kind, int window,
+                            int nthreads) {
+  std::string err;
+  auto vol = static_cast<Loader*>(h)->get(idx, &err);
+  if (!vol || vol->shape.size() != 3) return -1;
+  int64_t d = vol->shape[0], hh = vol->shape[1], w = vol->shape[2];
+  switch (vol->dtype) {
+    case 0:
+      hu_resize_run((const float*)vol->data.data(), d, hh, w, od, oh, ow,
+                    hu_min, hu_max, hu_nan, out, out_kind, window != 0,
+                    nthreads);
+      break;
+    case 2:
+      hu_resize_run((const int16_t*)vol->data.data(), d, hh, w, od, oh,
+                    ow, hu_min, hu_max, hu_nan, out, out_kind,
+                    window != 0, nthreads);
+      break;
+    default:
+      return -1;  // CT raws are f32/i16; others unexpected here
+  }
+  return (long long)od * oh * ow;
+}
+
+// Same fused kernel on a caller-provided f32 [d, h, w] buffer (for
+// volumes decoded outside the loader, e.g. NIfTI streams at serve time).
+long long ml_hu_resize_f32(const float* in, int d, int hh, int w,
+                           void* out, int od, int oh, int ow,
+                           float hu_min, float hu_max, float hu_nan,
+                           int out_kind, int window, int nthreads) {
+  if (d < 1 || hh < 1 || w < 1) return -1;
+  hu_resize_run(in, (int64_t)d, (int64_t)hh, (int64_t)w, od, oh, ow,
+                hu_min, hu_max, hu_nan, out, out_kind, window != 0,
+                nthreads);
+  return (long long)od * oh * ow;
+}
+
+// int16 input variant (CT scanners emit int16 HU natively).
+long long ml_hu_resize_i16(const int16_t* in, int d, int hh, int w,
+                           void* out, int od, int oh, int ow,
+                           float hu_min, float hu_max, float hu_nan,
+                           int out_kind, int window, int nthreads) {
+  if (d < 1 || hh < 1 || w < 1) return -1;
+  hu_resize_run(in, (int64_t)d, (int64_t)hh, (int64_t)w, od, oh, ow,
+                hu_min, hu_max, hu_nan, out, out_kind, window != 0,
+                nthreads);
+  return (long long)od * oh * ow;
 }
 
 // Shape query: writes up to 8 dims, returns ndim (or -1).

@@ -71,8 +71,17 @@ def test_eval_loader(dataset):
 
 def test_auto_mode_selects_device(dataset):
     from medicalseg_tpu.core.loader import TrainLoader
+    # small dataset, device-supported transforms -> whole-dataset HBM
+    # cache (index-only dispatches)
     loader = TrainLoader(dataset, batch_size=1, num_workers=1, mode="auto")
     try:
-        assert loader.mode == "device"  # RandomFlip3D is device-supported
+        assert loader.mode == "device_cache"
+    finally:
+        loader.stop()
+    # too big for HBM -> streaming device mode
+    loader = TrainLoader(dataset, batch_size=1, num_workers=1, mode="auto",
+                         device_cache_bytes=0)
+    try:
+        assert loader.mode == "device"
     finally:
         loader.stop()

@@ -76,8 +76,16 @@ def parse_args():
              "(1 = pure data parallel).", type=int, default=1)
     parser.add_argument(
         "--loader_mode", dest="loader_mode",
-        help="Data pipeline mode: auto | device | host", type=str,
+        help="Data pipeline mode: auto | device | device_cache | host. "
+             "device_cache stages the whole (deduped) dataset in device "
+             "HBM and ships only index vectors per step.", type=str,
         default="auto")
+    parser.add_argument(
+        "--wire_dtype", dest="wire_dtype",
+        help="Host->device wire format for training batches: bfloat16 "
+             "(images bf16 + labels uint8, 4-8x fewer bytes) or "
+             "float32.", type=str, default="bfloat16",
+        choices=["bfloat16", "float32"])
     parser.add_argument(
         "--steps_per_dispatch", dest="steps_per_dispatch",
         help="Train steps fused into one device program (lax.scan); "
@@ -155,7 +163,8 @@ def main(args):
         seed=args.seed if args.seed is not None else 0,
         space=args.space,
         data_loader_mode=args.loader_mode,
-        steps_per_dispatch=args.steps_per_dispatch)
+        steps_per_dispatch=args.steps_per_dispatch,
+        wire_dtype=args.wire_dtype)
 
 
 if __name__ == "__main__":
