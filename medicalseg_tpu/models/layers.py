@@ -137,9 +137,11 @@ class PallasConv5(nn.Module):
     eligible (W not lane-aligned, channels too wide, ...), so it is
     always safe to enable. Param names match nn.Conv (kernel/bias) for
     checkpoint compatibility. ``kind`` selects the head (general C_in,
-    narrow C_out) or stem (C_in=1) kernel. The custom VJP routes the
-    backward through the XLA conv's VJP — training numerics match the
-    default path.
+    narrow C_out) or stem (C_in=1) kernel. The custom VJP runs the
+    Pallas dgrad/wgrad kernels (bf16 MXU matmuls) with a per-piece
+    XLA-VJP fallback for ineligible shapes — training numerics match
+    the default path to bf16-matmul tolerance (tests compare at
+    atol 5e-3), not bit-exactly.
     """
     features: int
     kind: str = "head"
@@ -185,7 +187,8 @@ class ConvBNAct(nn.Module):
     def __call__(self, x, train: bool = True):
         if (self.lane_pad == "pallas" and self.features <= 64 and
                 tuple(self.kernel_size) == (5, 5, 5) and
-                tuple(self.strides) == (1, 1, 1)):
+                tuple(self.strides) == (1, 1, 1) and
+                self.padding == "SAME"):
             x = PallasConv5(self.features, kind="head", dtype=self.dtype,
                             name="Conv_0")(x)
         elif self.lane_pad == "narrow" and self.features < 16:

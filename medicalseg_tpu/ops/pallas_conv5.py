@@ -632,28 +632,50 @@ def _conv5_wgrad_pallas(x, g, kind, *, interpret=False):
 
 
 # ----------------------------------------------------------------------
-# SPMD partitioning: shard the kernels over the batch axis under pjit
+# SPMD partitioning: shard the kernels over the batch ('data') axis and
+# the volume H ('space') axis under pjit
 # ----------------------------------------------------------------------
 from jax.experimental.custom_partitioning import custom_partitioning  # noqa: E402
 from jax.sharding import NamedSharding, PartitionSpec  # noqa: E402
 
 
-def _batch_axis(arg_info):
+def _x_axes(arg_info):
+    """(batch_axis, h_axis) mesh-axis names of an [N, D, H, W, C] (or
+    [N, D, H, W] cotangent) operand's sharding; None = unsharded."""
     s = getattr(arg_info, "sharding", None)
-    if not isinstance(s, NamedSharding) or not len(s.spec):
-        return None
-    return s.spec[0]
+    if not isinstance(s, NamedSharding):
+        return None, None
+    spec = tuple(s.spec) + (None,) * (5 - len(s.spec))
+    return spec[0], spec[2]
+
+
+def _halo_h(x, hax, size):
+    """Exchange a P-row H halo with mesh neighbours along ``hax``.
+
+    Each shard receives its predecessor's last P rows on top and its
+    successor's first P rows below; edge shards receive ppermute's
+    zero fill — exactly the SAME-conv zero padding of the global
+    volume. Runs over ICI inside the partitioned computation."""
+    top = jax.lax.ppermute(x[:, :, -P:], hax,
+                           [(i, i + 1) for i in range(size - 1)])
+    bot = jax.lax.ppermute(x[:, :, :P], hax,
+                           [(i + 1, i) for i in range(size - 1)])
+    return jnp.concatenate([top, x, bot], axis=2)
 
 
 @functools.lru_cache(maxsize=None)
 def _cp_batchmap(kind, interpret):
-    """Batch-partitioned kernel entry: without this, the SPMD
+    """Mesh-partitioned kernel entry: without this, the SPMD
     partitioner treats the Pallas custom call as unshardable and
     REPLICATES it (all-gathering the global batch onto every device —
-    verified on an 8-device mesh). Each shard runs the kernel on its
-    local batch; weights stay replicated."""
+    verified on an 8-device mesh). The batch axis maps across shards
+    directly; an H-sharded ('space') operand is handled with a P-row
+    halo exchange before the local kernel, whose halo output rows are
+    then sliced off — the manual version of the halo passes XLA inserts
+    for its own convs. Weights stay replicated."""
     impl = {"head": _conv5_head_pallas,
             "stem": _conv5_stem_pallas}[kind]
+    ok = {"head": head_eligible, "stem": stem_eligible}[kind]
 
     def call(x, w, b):
         return impl(x, w, b, interpret=interpret)
@@ -661,15 +683,35 @@ def _cp_batchmap(kind, interpret):
     fn = custom_partitioning(call)
 
     def infer(mesh, arg_infos, result_infos):
-        return NamedSharding(mesh,
-                             PartitionSpec(_batch_axis(arg_infos[0])))
+        batch, hax = _x_axes(arg_infos[0])
+        return NamedSharding(mesh, PartitionSpec(batch, None, hax))
 
     def part(mesh, arg_infos, result_infos):
-        batch = _batch_axis(arg_infos[0])
+        batch, hax = _x_axes(arg_infos[0])
         repl = NamedSharding(mesh, PartitionSpec())
-        x_sh = NamedSharding(mesh, PartitionSpec(batch))
-        return mesh, call, NamedSharding(mesh, PartitionSpec(batch)), \
-            (x_sh, repl, repl)
+        if hax is not None and arg_infos[0].shape[2] % int(
+                mesh.shape[hax]) != 0:
+            hax = None  # uneven H shards pad — halo math would be
+            # wrong; request H-replication (a gather) instead
+        x_sh = NamedSharding(mesh, PartitionSpec(batch, None, hax))
+        out_sh = NamedSharding(mesh, PartitionSpec(batch, None, hax))
+        if hax is None:
+            return mesh, call, out_sh, (x_sh, repl, repl)
+
+        size = int(mesh.shape[hax])
+
+        def lower(x, w, b):
+            xe = _halo_h(x, hax, size)
+            # the halo'd local shape may miss the kernel's h-chunk /
+            # lane alignment — per-shard XLA conv keeps the spatial
+            # sharding (and its numerics) either way
+            if ok(xe.shape, xe.shape[-1], w.shape[-1], dtype=xe.dtype):
+                y = call(xe, w, b)
+            else:
+                y = _conv5_xla(xe, w, b)
+            return y[:, :, P:-P]
+
+        return mesh, lower, out_sh, (x_sh, repl, repl)
 
     fn.def_partition(infer_sharding_from_operands=infer, partition=part,
                      sharding_rule="n d h w i, a b c i o, o -> n d h w o")
@@ -678,8 +720,11 @@ def _cp_batchmap(kind, interpret):
 
 @functools.lru_cache(maxsize=None)
 def _cp_wgrad(which, kind, interpret):
-    """Batch-partitioned weight gradient: per-shard partial dw summed
-    with a psum over the batch mesh axes."""
+    """Mesh-partitioned weight gradient: per-shard partial dw summed
+    with a psum over the batch (and, when the H axis is sharded, space)
+    mesh axes. H sharding uses the same halo exchange as the forward on
+    x, with the cotangent zero-padded so halo output positions
+    contribute nothing."""
     if which == "mid":
         def impl(x, g):
             return _conv5_wgrad_mid_pallas(x, g, interpret=interpret)
@@ -693,14 +738,35 @@ def _cp_wgrad(which, kind, interpret):
         return NamedSharding(mesh, PartitionSpec())
 
     def part(mesh, arg_infos, result_infos):
-        batch = _batch_axis(arg_infos[0])
-        x_sh = NamedSharding(mesh, PartitionSpec(batch))
+        batch, hax = _x_axes(arg_infos[0])
+        if hax is not None and arg_infos[0].shape[2] % int(
+                mesh.shape[hax]) != 0:
+            hax = None
+        x_sh = NamedSharding(mesh, PartitionSpec(batch, None, hax))
         repl = NamedSharding(mesh, PartitionSpec())
+        axes = tuple(a for a in (batch, hax) if a is not None)
 
         def lower(x, g):
-            dw = impl(x, g)
-            if batch is not None:
-                dw = jax.lax.psum(dw, batch)
+            if hax is not None:
+                size = int(mesh.shape[hax])
+                x = _halo_h(x, hax, size)
+                g = jnp.pad(g, ((0, 0), (0, 0), (P, P), (0, 0), (0, 0)))
+            ci, co = x.shape[-1], g.shape[-1]
+            wgrad_ok = (_head_ok(x.shape, ci, co, x.dtype, 16)
+                        if kind == "head"
+                        else stem_eligible(x.shape, ci, co, x.dtype))
+            if which == "mid":
+                wgrad_ok = _wgrad_mid_ok(x.shape, ci, co, x.dtype)
+            if wgrad_ok:
+                dw = impl(x, g)
+            else:
+                # dw of a conv is linear in w: build the vjp at zeros
+                zw = jnp.zeros((K, K, K, ci, co), x.dtype)
+                zb = jnp.zeros((co,), x.dtype)
+                dw = jax.vjp(
+                    lambda w_: _conv5_xla(x, w_, zb), zw)[1](g)[0]
+            if axes:
+                dw = jax.lax.psum(dw, axes)
             return dw
 
         return mesh, lower, repl, (x_sh, x_sh)

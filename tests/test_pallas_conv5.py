@@ -208,3 +208,64 @@ def test_conv5_batch_sharded_partitioning():
     for a, c in zip(g_sh, g_un):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_conv5_space_sharded_partitioning():
+    """Under an H-sharded ('space') pjit the partitioning rules run the
+    kernel per-shard after a ppermute halo exchange — output stays
+    H-sharded and fwd+grads match the unsharded program."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("data", "space"))
+    rng = np.random.RandomState(13)
+    # h=8 over space=2 -> local 4+4 halo = 8: Pallas-eligible per shard
+    x = jnp.asarray(rng.randn(2, 4, 8, 128, 8).astype(np.float32))
+    k = jnp.asarray((rng.randn(5, 5, 5, 8, 3) / np.sqrt(1000)).astype(
+        np.float32))
+    b = jnp.asarray(rng.randn(3).astype(np.float32))
+    sh = NamedSharding(mesh, PS("data", None, "space"))
+    xs = jax.device_put(x, sh)
+
+    f = jax.jit(lambda x, k, b: pc.conv5(x, k, b, "head", True))
+    out = f(xs, k, b)
+    assert out.sharding.spec[:3] == PS("data", None, "space")[:3], \
+        out.sharding
+    np.testing.assert_allclose(np.asarray(out), np.asarray(f(x, k, b)),
+                               atol=1e-4, rtol=1e-4)
+
+    def loss(x, k, b):
+        return jnp.sum(pc.conv5(x, k, b, "head", True) ** 2)
+
+    g_sh = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(xs, k, b)
+    g_un = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(x, k, b)
+    for a, c in zip(g_sh, g_un):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-3, rtol=1e-3)
+
+
+def test_vnet_pallas_space_sharded_matches_default():
+    """VNet(head/mid='pallas') under a space=2 mesh == default convs on
+    the same params (VERDICT r2 #5: the production config must hold
+    under every mesh)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+
+    from medicalseg_tpu.models import VNet
+
+    devs = np.array(jax.devices()[:2]).reshape(1, 2)
+    mesh = Mesh(devs, ("data", "space"))
+    rng = np.random.RandomState(17)
+    x = jnp.asarray(rng.randn(1, 16, 16, 128, 1).astype(np.float32))
+
+    m_def = VNet(in_channels=1, num_classes=3)
+    m_pal = VNet(in_channels=1, num_classes=3, head_conv="pallas",
+                 mid_conv="pallas")
+    v = jax.jit(lambda kk, xx: m_def.init(kk, xx, train=False))(
+        jax.random.PRNGKey(0), x)
+
+    xs = jax.device_put(x, NamedSharding(mesh, PS(None, None, "space")))
+    o_def = jax.jit(lambda v, x: m_def.apply(v, x, train=False)[0])(v, x)
+    o_pal = jax.jit(lambda v, x: m_pal.apply(v, x, train=False)[0])(
+        v, xs)
+    np.testing.assert_allclose(np.asarray(o_pal), np.asarray(o_def),
+                               atol=2e-2, rtol=2e-2)
