@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(
 
 
 def parse_args():
+    from medicalseg_tpu.utils import strtobool
     parser = argparse.ArgumentParser(description="Model deploy inference")
     parser.add_argument(
         "--config", help="The deploy config file (deploy.yaml) path.",
@@ -50,17 +51,17 @@ def parse_args():
         choices=["fp32", "bf16"],
         help="Compute precision (bf16 = TPU-native half precision).")
     parser.add_argument(
-        "--enable_auto_tune", type=bool, default=False,
+        "--enable_auto_tune", type=strtobool, default=False,
         help="Kept for CLI parity: XLA autotunes during the first "
              "compile, no offline shape collection needed.")
     parser.add_argument(
-        "--benchmark", type=bool, default=False,
+        "--benchmark", type=strtobool, default=False,
         help="Log preprocess/inference/postprocess stage timings.")
     parser.add_argument(
         "--with_argmax", dest="with_argmax", action="store_true",
         help="Perform argmax postprocess if the exported net didn't.")
     parser.add_argument(
-        "--use_swl", type=bool, default=False,
+        "--use_swl", type=strtobool, default=False,
         help="Use sliding-window whole-volume inference.")
     return parser.parse_args()
 
@@ -103,6 +104,18 @@ class DeployConfig:
     def input_shape(self):
         return tuple(self.dic["Deploy"].get(
             "input_shape_ndhwc", (1, 128, 128, 128, 1)))
+
+    @property
+    def shape_buckets(self):
+        """(d, h, w) bucket shapes for variable-size routing (the
+        XLA-native version of the reference's TRT auto-tuned dynamic
+        shapes, its infer.py:178-224)."""
+        return [tuple(b) for b in
+                self.dic["Deploy"].get("shape_buckets", []) or []]
+
+    def bucket_model_file(self, key):
+        m = self.dic["Deploy"].get("bucket_models", {}) or {}
+        return os.path.join(self._dir, m[key]) if key in m else None
 
 
 class TimeLogger:
@@ -206,6 +219,86 @@ class Predictor:
             self._variables = serialization.msgpack_restore(blob)
 
     # ------------------------------------------------------------------
+    # shape-bucket routing (reference TRT dynamic shapes equivalent)
+    # ------------------------------------------------------------------
+    def _bucket_for(self, dhw):
+        """Smallest exported bucket every dim of ``dhw`` fits into, or
+        None (caller falls back to resize-to-export-shape)."""
+        fits = [b for b in self.cfg.shape_buckets
+                if all(b[i] >= dhw[i] for i in range(3))]
+        if not fits:
+            return None
+        return min(fits, key=lambda b: b[0] * b[1] * b[2])
+
+    def _bucket_call(self, bucket):
+        """Executor for one bucket shape: its serialized StableHLO when
+        shipped, else the rebuilt module (jit caches per shape)."""
+        import jax
+
+        key = "{}x{}x{}".format(*bucket)
+        if key in getattr(self, "_bucket_calls", {}):
+            return self._bucket_calls[key]
+        if not hasattr(self, "_bucket_calls"):
+            self._bucket_calls = {}
+        call, fixed_n = None, None
+        path = self.cfg.bucket_model_file(key)
+        if path and os.path.exists(path):
+            try:
+                from jax import export as jax_export
+                with open(path, "rb") as f:
+                    exported = jax_export.deserialize(f.read())
+                # serialized artifacts carry a FIXED batch dim
+                fixed_n = int(exported.in_avals[-1].shape[0])
+                call = jax.jit(exported.call)
+            except Exception:
+                call, fixed_n = None, None
+        if call is None:
+            if self._apply is None:
+                self._build_from_config()
+            call = self._apply  # rebuilt module: jit caches any batch
+        self._bucket_calls[key] = (call, fixed_n)
+        return call, fixed_n
+
+    def _run_bucketed(self, pend, results):
+        """Zero-pad a same-bucket group to the bucket shape, run it as
+        one batch, crop each output back to its native extent."""
+        bucket = pend[0][2]
+        vols = []
+        for _, vol, _ in pend:
+            dhw = vol.shape[1:4]
+            pad = [(0, 0)] + [(0, bucket[i] - dhw[i]) for i in range(3)] \
+                + [(0, 0)]
+            vols.append(np.pad(vol, pad))
+        batch = np.concatenate(vols)
+        call, fixed_n = self._bucket_call(bucket)
+        t0 = time.time()
+        if fixed_n and fixed_n != batch.shape[0]:
+            outs = []
+            for s in range(0, batch.shape[0], fixed_n):
+                blk = batch[s:s + fixed_n]
+                if blk.shape[0] < fixed_n:  # pad the tail dispatch
+                    blk = np.concatenate(
+                        [blk, np.repeat(blk[-1:],
+                                        fixed_n - blk.shape[0], 0)])
+                outs.append(np.asarray(call(self._variables,
+                                            blk))[:blk.shape[0]])
+            out = np.concatenate(outs)[:batch.shape[0]]
+        else:
+            out = np.asarray(call(self._variables, batch))
+        self.timer.record("inference", time.time() - t0)
+        t0 = time.time()
+        for j, (path, vol, _) in enumerate(pend):
+            d, h, w = vol.shape[1:4]
+            res = out[j][:d, :h, :w]
+            if self.args.with_argmax and res.ndim == 4:
+                res = res.argmax(axis=-1)
+            name = os.path.splitext(os.path.basename(path))[0]
+            save_path = os.path.join(self.args.save_dir, name + ".npy")
+            np.save(save_path, res)
+            results.append(save_path)
+        self.timer.record("postprocess", time.time() - t0)
+        pend.clear()
+
     def _predict_sliding(self, vols):
         """Whole-volume sliding-window inference with Gaussian overlap
         blending (--use_swl): volumes keep their native resolution and
@@ -301,6 +394,34 @@ class Predictor:
             if self.args.benchmark:
                 self.timer.report()
             return results
+        if self.cfg.shape_buckets:
+            # variable-size serving: route each volume to the smallest
+            # exported bucket it fits (pad + crop), batching contiguous
+            # same-bucket volumes
+            from medicalseg_tpu import ops
+            pend = []  # (path, vol, bucket)
+            for path in imgs:
+                t0 = time.time()
+                vol = self._preprocess(path)
+                bucket = self._bucket_for(vol.shape[1:4])
+                if bucket is None:  # larger than every bucket: resample
+                    bucket = max(self.cfg.shape_buckets,
+                                 key=lambda b: b[0] * b[1] * b[2])
+                    vol = np.asarray(ops.resize3d(
+                        vol[0, ..., 0], bucket, order=1),
+                        np.float32)[None, ..., None]
+                self.timer.record("preprocess", time.time() - t0)
+                if pend and bucket != pend[0][2]:
+                    self._run_bucketed(pend, results)
+                pend.append((path, vol, bucket))
+                if len(pend) >= max(1, self.args.batch_size):
+                    self._run_bucketed(pend, results)
+            if pend:
+                self._run_bucketed(pend, results)
+            if self.args.benchmark:
+                self.timer.report()
+            return results
+
         for i in range(0, len(imgs), self.args.batch_size):
             chunk = imgs[i:i + self.args.batch_size]
             t0 = time.time()

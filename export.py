@@ -45,6 +45,14 @@ def parse_args():
         help="Export the model with fixed input shape, e.g. 1 1 128 128 "
              "128 (NCDHW order for reference-CLI parity).",
         type=int, default=None)
+    parser.add_argument(
+        "--shape_buckets", nargs="+", type=int, default=None,
+        help="Additional D H W triples (e.g. 128 128 128 192 192 96) to "
+             "export alongside --input_shape. The deploy runner routes "
+             "each input volume to the smallest fitting bucket "
+             "(zero-padded, output cropped back) — the XLA-native "
+             "equivalent of the reference's TRT auto-tuned dynamic "
+             "shapes (deploy/python/infer.py:178-224).")
     return parser.parse_args()
 
 
@@ -95,25 +103,49 @@ def main(args):
     from medicalseg_tpu.utils import save_checkpoint
     save_checkpoint(args.save_dir, variables)
 
-    # 2) StableHLO artifact
+    # 2) StableHLO artifact(s) — one per shape bucket
     jitted = jax.jit(forward)
-    try:
-        from jax import export as jax_export
-        # Pallas kernels (head_conv/mid_conv='pallas') serialize as
-        # Mosaic custom calls; allowlist them for the safety check (the
-        # artifact stays portable across same-generation TPU runtimes).
-        checks = [jax_export.DisabledSafetyCheck.custom_call(t)
-                  for t in ("tpu_custom_call", "mosaic_cpu")]
-        exported = jax_export.export(
-            jitted, disabled_checks=checks)(variables, sample)
-        blob = exported.serialize()
-        with open(os.path.join(args.save_dir, "model.stablehlo"),
-                  "wb") as f:
-            f.write(blob)
-        logger.info("Serialized StableHLO ({} bytes)".format(len(blob)))
-    except Exception as e:  # pragma: no cover - export API drift
-        logger.warning("StableHLO export failed ({}); deploy will rebuild "
-                       "the module from config.".format(e))
+
+    def export_one(sample_in, fname):
+        try:
+            from jax import export as jax_export
+            # Pallas kernels (head_conv/mid_conv='pallas') serialize as
+            # Mosaic custom calls; allowlist them for the safety check
+            # (the artifact stays portable across same-generation TPU
+            # runtimes).
+            checks = [jax_export.DisabledSafetyCheck.custom_call(t)
+                      for t in ("tpu_custom_call", "mosaic_cpu")]
+            exported = jax_export.export(
+                jitted, disabled_checks=checks)(variables, sample_in)
+            blob = exported.serialize()
+            with open(os.path.join(args.save_dir, fname), "wb") as f:
+                f.write(blob)
+            logger.info("Serialized StableHLO {} ({} bytes)".format(
+                fname, len(blob)))
+            return True
+        except Exception as e:  # pragma: no cover - export API drift
+            logger.warning(
+                "StableHLO export failed ({}); deploy will rebuild the "
+                "module from config.".format(e))
+            return False
+
+    export_one(sample, "model.stablehlo")
+
+    # shape buckets: the XLA-native answer to TRT auto-tuned dynamic
+    # shapes (reference deploy/python/infer.py:178-224) — serve-time
+    # inputs route to the smallest bucket that fits (pad + crop back)
+    buckets = []
+    bucket_models = {}
+    if args.shape_buckets:
+        if len(args.shape_buckets) % 3:
+            raise ValueError("--shape_buckets wants D H W triples")
+        flat = args.shape_buckets
+        buckets = [tuple(flat[i:i + 3]) for i in range(0, len(flat), 3)]
+        for bd, bh, bw in buckets:
+            fname = "model_{}x{}x{}.stablehlo".format(bd, bh, bw)
+            bsample = jnp.zeros((n, bd, bh, bw, c), jnp.float32)
+            if export_one(bsample, fname):
+                bucket_models["{}x{}x{}".format(bd, bh, bw)] = fname
 
     # 3) deploy manifest (reference export.py:126-136)
     val_cfg = cfg.dic.get("val_dataset", {})
@@ -124,6 +156,8 @@ def main(args):
             "params": "model.msgpack",
             "transforms": transforms,
             "input_shape_ndhwc": list(sample.shape),
+            "shape_buckets": [list(b) for b in buckets],
+            "bucket_models": bucket_models,
             "output_op": ("softmax" if args.with_softmax else
                           "argmax" if not args.without_argmax else
                           "none"),

@@ -68,10 +68,18 @@ def evaluate(state,
     # with the batch axis sharded over the mesh's data axis AND (when
     # space > 1) the volume's H axis sharded over 'space' — whole-volume
     # inference beyond single-chip HBM (XLA inserts conv halo exchanges).
+    # The sliding-window path shards the same way: each device runs the
+    # full window scan for its own volume(s) of the group (r2 #8a — an
+    # 8-chip slice no longer idles 7 chips under --sw_num).
     group = 1
-    use_mesh = (mesh is not None and not sw_num and
+    use_mesh = (mesh is not None and
                 (int(mesh.shape["data"]) > 1 or
                  int(mesh.shape["space"]) > 1))
+    if sw_num and mesh is not None and int(mesh.shape["space"]) > 1:
+        # windows are HBM-sized by construction; H-sharding the roi
+        # would shrink below the conv receptive field — keep sw_num on
+        # the data axis only
+        use_mesh = int(mesh.shape["data"]) > 1
     if use_mesh:
         # always the full data-axis size — short sets pad the dispatch
         # (the batch axis must stay divisible by the mesh axis)
@@ -134,8 +142,10 @@ def evaluate(state,
     cached = getattr(eval_dataset, cache_key, None)
     if cached is None or cached[0] is not state.apply_fn:
         if use_mesh:
-            img_sh = mesh_lib.batch_sharding(mesh)
-            lab_sh = mesh_lib.label_sharding(mesh)
+            # sw mode: volumes stay whole per device (data axis only)
+            sp_ax = None if sw_num else 2
+            img_sh = mesh_lib.batch_sharding(mesh, sp_ax)
+            lab_sh = mesh_lib.label_sharding(mesh, sp_ax)
             repl = mesh_lib.replicated(mesh)
             fn = jax.jit(_eval_group, in_shardings=(repl, img_sh, lab_sh))
             cached = (state.apply_fn, fn, img_sh, lab_sh)

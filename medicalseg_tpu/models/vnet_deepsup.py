@@ -44,6 +44,7 @@ class VNetDeepSup(nn.Module):
     dtype: Any = jnp.float32
     head_conv: str = "default"  # 'pallas' also switches the stem
     mid_conv: str = "default"
+    remat: bool = False  # per-block rematerialization (HBM <-> FLOPs)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -53,35 +54,58 @@ class VNetDeepSup(nn.Module):
         mc = self.mid_conv
         stem = "pallas" if self.head_conv == "pallas" else "default"
 
-        def head(features, h):
+        if self.remat:
+            # checkpoint each transition (see vnet.py): the backward
+            # recomputes one block at a time, bounding live activations
+            # by the largest stage — required to fit large anisotropic
+            # volumes (512x512x12 batch>=2) in v5e HBM.
+            Input = nn.remat(InputTransition, static_argnums=(2,))
+            Down = nn.remat(DownTransition, static_argnums=(2,))
+            Up = nn.remat(UpTransition, static_argnums=(3,))
+            Output = nn.remat(OutputTransition, static_argnums=(2,))
+        else:
+            Input, Down, Up, Output = (InputTransition, DownTransition,
+                                       UpTransition, OutputTransition)
+
+        def head(h, name):
             return nn.Conv(self.num_classes, (3, 3, 3), padding="SAME",
                            dtype=self.dtype,
-                           kernel_init=nn.initializers.he_normal())(h)
+                           kernel_init=nn.initializers.he_normal(),
+                           name=name)(h)
 
-        out16 = InputTransition(self.in_channels, self.elu,
-                                self.dtype, 16, stem)(x, train)
-        out32 = DownTransition(16, 1, self.elu, False, ss[0], ks[0],
-                               self.dtype, mc)(out16, train)
-        out64 = DownTransition(32, 2, self.elu, False, ss[1], ks[1],
-                               self.dtype, mc)(out32, train)
-        out128 = DownTransition(64, 3, self.elu, True, ss[2], ks[2],
-                                self.dtype, mc)(out64, train)
-        out256 = DownTransition(128, 2, self.elu, True, ss[3], ks[3],
-                                self.dtype, mc)(out128, train)
+        # explicit names keep the parameter tree identical with or
+        # without the lifted remat wrapper (checkpoint compatibility)
+        out16 = Input(self.in_channels, self.elu, self.dtype, 16, stem,
+                      name="InputTransition_0")(x, train)
+        out32 = Down(16, 1, self.elu, False, ss[0], ks[0],
+                     self.dtype, mc, name="DownTransition_0")(out16, train)
+        out64 = Down(32, 2, self.elu, False, ss[1], ks[1],
+                     self.dtype, mc, name="DownTransition_1")(out32, train)
+        out128 = Down(64, 3, self.elu, True, ss[2], ks[2],
+                      self.dtype, mc, name="DownTransition_2")(out64,
+                                                               train)
+        out256 = Down(128, 2, self.elu, True, ss[3], ks[3],
+                      self.dtype, mc, name="DownTransition_3")(out128,
+                                                               train)
 
-        out = UpTransition(256, 256, 2, self.elu, True, True, ss[3], ks[3],
-                           self.dtype, mc)(out256, out128, train)
-        d1 = _upsample_trilinear(head(256, out).astype(jnp.float32), size)
-        out = UpTransition(256, 128, 2, self.elu, True, True, ss[2], ks[2],
-                           self.dtype, mc)(out, out64, train)
-        d2 = _upsample_trilinear(head(128, out).astype(jnp.float32), size)
-        out = UpTransition(128, 64, 1, self.elu, False, False, ss[1], ks[1],
-                           self.dtype, mc)(out, out32, train)
-        d3 = _upsample_trilinear(head(64, out).astype(jnp.float32), size)
-        out = UpTransition(64, 32, 1, self.elu, False, False, ss[0], ks[0],
-                           self.dtype, mc)(out, out16, train)
-        out = OutputTransition(self.num_classes, self.elu,
-                               self.dtype, self.head_conv)(out, train)
+        out = Up(256, 256, 2, self.elu, True, True, ss[3], ks[3],
+                 self.dtype, mc, name="UpTransition_0")(out256, out128,
+                                                        train)
+        d1 = _upsample_trilinear(
+            head(out, "Conv_0").astype(jnp.float32), size)
+        out = Up(256, 128, 2, self.elu, True, True, ss[2], ks[2],
+                 self.dtype, mc, name="UpTransition_1")(out, out64, train)
+        d2 = _upsample_trilinear(
+            head(out, "Conv_1").astype(jnp.float32), size)
+        out = Up(128, 64, 1, self.elu, False, False, ss[1], ks[1],
+                 self.dtype, mc, name="UpTransition_2")(out, out32, train)
+        d3 = _upsample_trilinear(
+            head(out, "Conv_2").astype(jnp.float32), size)
+        out = Up(64, 32, 1, self.elu, False, False, ss[0], ks[0],
+                 self.dtype, mc, name="UpTransition_3")(out, out16, train)
+        out = Output(self.num_classes, self.elu, self.dtype,
+                     self.head_conv,
+                     name="OutputTransition_0")(out, train)
         return [out.astype(jnp.float32), d1, d2, d3]
 
     def test(self):

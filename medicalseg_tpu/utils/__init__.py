@@ -13,7 +13,7 @@ from .metric import (accuracy, auc_roc, calculate_area, dice, kappa,
                      mean_iou)
 from .progbar import Progbar
 from .timer import TimeAverager, calculate_eta
-from .utils import get_image_list, save_array, seed_all
+from .utils import get_image_list, save_array, seed_all, strtobool
 
 __all__ = [
     "logger", "metric", "train_profiler", "visualize",
@@ -23,5 +23,5 @@ __all__ = [
     "load_entire_model", "resume", "worker_init_fn", "config_check",
     "download_file_and_uncompress", "loss_computation", "calculate_area",
     "mean_iou", "dice", "accuracy", "kappa", "auc_roc", "get_image_list",
-    "save_array", "seed_all", "enable_compile_cache",
+    "save_array", "seed_all", "strtobool", "enable_compile_cache",
 ]

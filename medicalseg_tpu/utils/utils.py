@@ -17,6 +17,22 @@ MEDICAL_SUFFIXES = ("nii.gz", "nii", "dcm", "mhd", "mha", "raw", "npy",
                     "nrrd")
 
 
+def strtobool(v):
+    """argparse-friendly bool: the reference's ``type=bool`` flags parse
+    '--flag False' as True (any non-empty string is truthy — its
+    val.py:57 wart); this accepts yes/no/true/false/1/0 properly."""
+    if isinstance(v, bool):
+        return v
+    s = str(v).strip().lower()
+    if s in ("y", "yes", "t", "true", "on", "1"):
+        return True
+    if s in ("n", "no", "f", "false", "off", "0"):
+        return False
+    import argparse
+    raise argparse.ArgumentTypeError(
+        "expected a boolean, got {!r}".format(v))
+
+
 def seed_all(seed=None):
     """Seed python/numpy RNGs and return a jax PRNG key (reference
     train.py:120-123 seeds paddle/np/random)."""

@@ -93,6 +93,25 @@ def test_evaluate_device_sharded_matches_serial(val_dataset, state,
     np.testing.assert_array_equal(p_serial, p_shard)
 
 
+def test_evaluate_sliding_window_sharded_matches_serial(val_dataset,
+                                                       state, tmp_path):
+    """r2 #8a: --sw_num eval shards volume groups over the mesh's data
+    axis (each device scans windows for its own volume) and must match
+    the single-device sliding-window result."""
+    import jax
+    from medicalseg_tpu.core import evaluate
+    from medicalseg_tpu.parallel import mesh as mesh_lib
+
+    serial = evaluate(state, val_dataset, _losses(), sw_num=2,
+                      save_dir=str(tmp_path / "serial"))
+    mesh = mesh_lib.build_mesh(data=2, space=1,
+                               devices=jax.devices()[:2])
+    sharded = evaluate(state, val_dataset, _losses(), sw_num=2,
+                       mesh=mesh, save_dir=str(tmp_path / "sharded"))
+    np.testing.assert_allclose(sharded["mdice"], serial["mdice"],
+                               rtol=1e-5)
+
+
 def test_eval_loader_range(tmp_path):
     from tools.generate_synthetic_dataset import generate
     from medicalseg_tpu.datasets import MedicalDataset

@@ -70,6 +70,80 @@ def make_volume_lesions(rng, size=128, num_classes=3):
     return img.astype(np.float32), label
 
 
+def make_volume_spine(rng, size=None, num_classes=20):
+    """A spine-MRI-like volume at the MRISpineSeg geometry
+    (512 x 512 x 12, 20 classes — reference configs/mri_spine_seg/
+    vnetdeepsup_mri_spine_seg_512_512_12_15k.yml): a curved vertebral
+    column in the sagittal plane, ~10 vertebral bodies (classes 1-10,
+    numbered caudal->cranial) alternating with 9 intervertebral discs
+    (classes 11-19). Class identity is *ordinal* — the net must locate
+    each level, not threshold intensities — which is what makes the real
+    task hard. Extent is near-constant across the 12 sagittal slices
+    with small jitter.
+    """
+    H, W, D = 512, 512, 12
+    yy = np.arange(H, dtype=np.float32)
+    xx = np.arange(W, dtype=np.float32)
+
+    # smooth tissue background + slow illumination gradient
+    img = rng.normal(0.25, 0.04, (H, W, D)).astype(np.float32)
+    img += (0.05 * np.sin(yy / H * np.pi * rng.uniform(0.5, 1.5))
+            )[:, None, None]
+
+    # spinal curve: x-center as a gentle sinusoid of y (lordosis-ish)
+    x0 = rng.uniform(220, 290)
+    amp = rng.uniform(15, 45)
+    phase = rng.uniform(0, 2 * np.pi)
+    curve = x0 + amp * np.sin(yy / H * 2.2 * np.pi + phase)
+
+    label = np.zeros((H, W, D), np.int32)
+    # stack from bottom: 10 vertebrae alternating with 9 discs
+    vert_h = rng.uniform(26, 34)
+    disc_h = rng.uniform(7, 11)
+    y = H - rng.uniform(40, 90)  # caudal start
+    half_w = rng.uniform(22, 30)
+    for level in range(10):
+        # vertebral body: rounded rectangle, marrow-bright w/ texture
+        y_top = y - vert_h
+        ys = (yy >= y_top) & (yy < y)
+        for d in range(D):
+            jx = rng.uniform(-2, 2)
+            xs = np.abs(xx[None, :] - (curve[:, None] + jx)) < half_w
+            # shrink at the block's vertical edges (rounded corners)
+            edge = np.minimum(yy - y_top, y - yy) / vert_h
+            keep = ys[:, None] & xs & (edge[:, None] > 0.06)
+            label[:, :, d][keep] = 1 + level
+            img[:, :, d][keep] = rng.uniform(0.55, 0.7)
+        if level < 9:
+            # disc above: thinner, brighter (T2-bright nucleus)
+            yd_top = y_top - disc_h
+            yds = (yy >= yd_top) & (yy < y_top)
+            for d in range(D):
+                xs = np.abs(xx[None, :] - curve[:, None]) < half_w * 0.9
+                keep = yds[:, None] & xs
+                label[:, :, d][keep] = 11 + level
+                img[:, :, d][keep] = rng.uniform(0.78, 0.9)
+        y = y_top - disc_h
+
+    # spinal canal stripe behind the column (dark), unlabeled
+    for d in range(D):
+        xs = (xx[None, :] - (curve[:, None] + half_w + 8) > 0) & \
+             (xx[None, :] - (curve[:, None] + half_w + 8) < 12)
+        img[:, :, d][xs] *= 0.5
+
+    img += rng.normal(0.0, 0.05, (H, W, D)).astype(np.float32)
+    gain, off = rng.uniform(0.9, 1.1), rng.uniform(-0.03, 0.03)
+    img = np.clip(img * gain + off, 0, 1) * 255.0
+    # TPU-first layout: slices-major (12, 512, 512) puts the 512 extent
+    # on the minor (lane) axis — the reference's (512, 512, 12) order
+    # (its prepare_mri_spine_seg resample target) leaves 12 on the lanes
+    # and starves the MXU. Model kernels/strides transpose to match
+    # (configs/synthetic/vnetdeepsup_synspine_3k.yml).
+    img = np.ascontiguousarray(np.moveaxis(img, -1, 0))
+    label = np.ascontiguousarray(np.moveaxis(label, -1, 0))
+    return img.astype(np.float32), label
+
+
 def generate(root, num_volumes=8, size=32, num_classes=3, seed=0,
              val_frac=0.25, style="spheres", name="synthetic"):
     rng = np.random.RandomState(seed)
@@ -77,7 +151,10 @@ def generate(root, num_volumes=8, size=32, num_classes=3, seed=0,
     os.makedirs(os.path.join(phase0, "images"), exist_ok=True)
     os.makedirs(os.path.join(phase0, "labels"), exist_ok=True)
 
-    maker = make_volume_lesions if style == "lesions" else make_volume
+    maker = {"lesions": make_volume_lesions,
+             "spine": make_volume_spine}.get(style, make_volume)
+    if style == "spine":
+        num_classes = 20
     entries = []
     json_training = {}
     for i in range(num_volumes):
@@ -85,14 +162,16 @@ def generate(root, num_volumes=8, size=32, num_classes=3, seed=0,
         img_rel = "images/vol_{:03d}.npy".format(i)
         lab_rel = "labels/vol_{:03d}.npy".format(i)
         np.save(os.path.join(phase0, img_rel), img)
-        np.save(os.path.join(phase0, lab_rel), lab)
+        # labels fit uint8 for any dataset here (< 256 classes); keeps
+        # the on-disk footprint 4x smaller than int32
+        np.save(os.path.join(phase0, lab_rel), lab.astype(np.uint8))
         entries.append("{} {}".format(img_rel, lab_rel))
         json_training["vol_{:03d}".format(i)] = {
             "spacing_resample": [1.0, 1.0, 1.0],
             "origin": [0.0, 0.0, 0.0],
             "direction": [1, 0, 0, 0, 1, 0, 0, 0, 1],
             "dim": 3,
-            "shape": [size, size, size],
+            "shape": list(img.shape),
         }
 
     n_val = max(1, int(num_volumes * val_frac))
@@ -117,7 +196,7 @@ if __name__ == "__main__":
     parser.add_argument("--size", type=int, default=32)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--style", default="spheres",
-                        choices=["spheres", "lesions"])
+                        choices=["spheres", "lesions", "spine"])
     parser.add_argument("--name", default="synthetic")
     args = parser.parse_args()
     path = generate(args.root, args.num_volumes, args.size, seed=args.seed,

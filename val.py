@@ -10,6 +10,7 @@ import os
 
 
 def parse_args():
+    from medicalseg_tpu.utils import strtobool
     parser = argparse.ArgumentParser(description="Model evaluation")
     parser.add_argument(
         "--config", dest="cfg", help="The config file.", default=None,
@@ -30,7 +31,7 @@ def parse_args():
         action="store_true")
     parser.add_argument(
         "--auc_roc", dest="auc_roc", help="Whether to use auc_roc metric",
-        type=bool, default=False)
+        type=strtobool, default=False)
     parser.add_argument(
         "--sw_num", dest="sw_num",
         help="sliding window number: run sliding-window whole-volume "
