@@ -18,17 +18,26 @@ from flax import linen as nn
 
 class PReLU(nn.Module):
     """Per-channel PReLU (paddle nn.PReLU(num_parameters=C) parity,
-    reference vnet.py:35: learnable alpha per channel, init 0.25)."""
+    reference vnet.py:35: learnable alpha per channel, init 0.25).
+
+    ``channel_axis=-1`` for NDHWC; 2 for the Pallas kernel layout
+    [N, D, C, H, W] (ops/pallas_conv5.to_kl). Param shape is (C,)
+    either way — checkpoints are layout-independent."""
     init_value: float = 0.25
     dtype: Any = jnp.float32
+    channel_axis: int = -1
 
     @nn.compact
     def __call__(self, x):
         alpha = self.param(
             "alpha", lambda key, shape: jnp.full(shape, self.init_value,
                                                  jnp.float32),
-            (x.shape[-1],))
+            (x.shape[self.channel_axis],))
         alpha = alpha.astype(self.dtype)
+        if self.channel_axis % x.ndim != x.ndim - 1:
+            bshape = [1] * x.ndim
+            bshape[self.channel_axis] = alpha.shape[0]
+            alpha = alpha.reshape(bshape)
         return jnp.where(x >= 0, x, alpha * x)
 
 
@@ -36,12 +45,13 @@ class Activation(nn.Module):
     """ELU-vs-PReLU switch used throughout VNet (reference vnet.py:35)."""
     elu: bool = False
     dtype: Any = jnp.float32
+    channel_axis: int = -1
 
     @nn.compact
     def __call__(self, x):
         if self.elu:
             return nn.elu(x)
-        return PReLU(dtype=self.dtype)(x)
+        return PReLU(dtype=self.dtype, channel_axis=self.channel_axis)(x)
 
 
 class BatchNorm3D(nn.Module):
@@ -60,10 +70,12 @@ class BatchNorm3D(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
+    channel_axis: int = -1  # -1 NDHWC; 2 for the Pallas kernel layout
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        features = x.shape[-1]
+        cax = self.channel_axis % x.ndim
+        features = x.shape[cax]
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros(features, jnp.float32))
         ra_var = self.variable("batch_stats", "var",
@@ -74,7 +86,7 @@ class BatchNorm3D(nn.Module):
                           jnp.float32)
 
         if train:
-            axes = tuple(range(x.ndim - 1))
+            axes = tuple(a for a in range(x.ndim) if a != cax)
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=axes)
             var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
@@ -88,9 +100,15 @@ class BatchNorm3D(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = scale * jax.lax.rsqrt(var + self.epsilon)
+        shift = bias - mean * inv
+        if cax != x.ndim - 1:
+            bshape = [1] * x.ndim
+            bshape[cax] = features
+            inv = inv.reshape(bshape)
+            shift = shift.reshape(bshape)
         # one fused multiply-add in the compute dtype
         return (x.astype(self.dtype) * inv.astype(self.dtype) +
-                (bias - mean * inv).astype(self.dtype))
+                shift.astype(self.dtype))
 
 
 class LanePaddedConv(nn.Module):
@@ -168,12 +186,47 @@ class PallasConv5(nn.Module):
         return pc.conv5(x, kern, bias, self.kind, interpret)
 
 
+class PallasConv5KL(nn.Module):
+    """5^3 SAME conv in the Pallas kernel layout [N, D, C, H, W]
+    (ops/pallas_conv5.conv5_kl): no NDHWC<->kernel-layout copies around
+    the custom call, so consecutive convs + BN + PReLU chain without
+    the ~2.2 ms/tensor layout flips the round-3 train profile found at
+    every Pallas conv boundary. Param names/shapes match nn.Conv
+    (kernel [5,5,5,Ci,Co], bias [Co]) for checkpoint compatibility.
+    Falls back to an XLA conv (same layout) for ineligible shapes."""
+    features: int
+    kind: str = "head"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xk):
+        from ..ops import pallas_conv5 as pc
+
+        ci = xk.shape[2]
+        kern = self.param("kernel", nn.initializers.he_normal(),
+                          (5, 5, 5, ci, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        xk = xk.astype(self.dtype)
+        kern = kern.astype(self.dtype)
+        eligible = (pc.stem_eligible_kl if self.kind == "stem" else
+                    pc.head_eligible_kl)(xk.shape, ci, self.features,
+                                         dtype=xk.dtype)
+        if not eligible:
+            return pc._conv5_xla_kl(xk, kern, bias.astype(self.dtype))
+        interpret = jax.default_backend() != "tpu"
+        return pc.conv5_kl(xk, kern, bias, self.kind, interpret)
+
+
 class ConvBNAct(nn.Module):
     """Conv3D + BatchNorm + activation (reference LUConv, vnet.py:32-43).
 
     ``lane_pad`` switches the conv implementation for narrow-output
     heads: True -> LanePaddedConv (MXU zero-pad), 'narrow' -> the
     reassociated XLA matmul form, 'pallas' -> the Pallas MXU kernel.
+    ``layout='kl'`` (with lane_pad='pallas') runs the whole block in
+    the Pallas kernel layout [N, D, C, H, W] — input and output are
+    kernel-layout tensors; param tree is identical to the NDHWC block.
     """
     features: int
     kernel_size: Tuple[int, int, int] = (5, 5, 5)
@@ -182,9 +235,17 @@ class ConvBNAct(nn.Module):
     elu: bool = False
     dtype: Any = jnp.float32
     lane_pad: Any = False  # False | True (MXU pad) | 'narrow' | 'pallas'
+    layout: str = "ndhwc"  # 'ndhwc' | 'kl' (kernel layout, pallas only)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if self.layout == "kl":
+            assert self.lane_pad == "pallas"
+            x = PallasConv5KL(self.features, kind="head",
+                              dtype=self.dtype, name="Conv_0")(x)
+            x = BatchNorm3D(dtype=self.dtype, channel_axis=2)(x, train)
+            return Activation(elu=self.elu, dtype=self.dtype,
+                              channel_axis=2)(x)
         if (self.lane_pad == "pallas" and self.features <= 64 and
                 tuple(self.kernel_size) == (5, 5, 5) and
                 tuple(self.strides) == (1, 1, 1) and
@@ -230,19 +291,23 @@ class ConvBNAct(nn.Module):
 class NConvs(nn.Module):
     """``depth`` stacked 5x5x5 ConvBNAct blocks at constant width
     (reference _make_nConv, vnet.py:46-54). ``conv_impl='pallas'``
-    routes every eligible conv through the Pallas MXU kernels."""
+    routes every eligible conv through the Pallas MXU kernels;
+    ``layout='kl'`` additionally keeps the whole stack in the Pallas
+    kernel layout (caller passes/receives [N, D, C, H, W])."""
     features: int
     depth: int
     elu: bool = False
     dtype: Any = jnp.float32
     conv_impl: str = "default"
+    layout: str = "ndhwc"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         lane_pad = "pallas" if self.conv_impl == "pallas" else False
         for _ in range(self.depth):
             x = ConvBNAct(self.features, elu=self.elu,
-                          dtype=self.dtype, lane_pad=lane_pad)(x, train)
+                          dtype=self.dtype, lane_pad=lane_pad,
+                          layout=self.layout)(x, train)
         return x
 
 

@@ -37,6 +37,26 @@ class InputTransition(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        from ..ops import pallas_conv5 as pc
+
+        repeat = self.num_features // self.in_channels
+        if (self.stem_conv == "pallas" and self.in_channels == 1 and
+                pc.stem_eligible(x.shape, 1, self.num_features,
+                                 dtype=self.dtype)):
+            # whole block in the Pallas kernel layout: conv + BN + tiled
+            # residual + PReLU without NDHWC layout round trips (the
+            # entry transpose moves a size-1 axis — a free reshape).
+            from .layers import PallasConv5KL
+            xk = pc.to_kl(x)
+            out = PallasConv5KL(self.num_features, kind="stem",
+                                dtype=self.dtype, name="Conv_0")(xk)
+            out = BatchNorm3D(dtype=self.dtype, channel_axis=2)(
+                out, train)
+            x_tile = jnp.tile(xk, (1, 1, repeat, 1, 1)).astype(
+                self.dtype)
+            out = Activation(elu=self.elu, dtype=self.dtype,
+                             channel_axis=2)(out + x_tile)
+            return pc.from_kl(out)
         if self.stem_conv == "pallas" and self.in_channels == 1:
             from .layers import PallasConv5
             out = PallasConv5(self.num_features, kind="stem",
@@ -46,7 +66,6 @@ class InputTransition(nn.Module):
                           dtype=self.dtype,
                           kernel_init=nn.initializers.he_normal())(x)
         out = BatchNorm3D(dtype=self.dtype)(out, train)
-        repeat = self.num_features // self.in_channels
         x_tile = jnp.tile(x, (1, 1, 1, 1, repeat)).astype(self.dtype)
         return Activation(elu=self.elu, dtype=self.dtype)(out + x_tile)
 
@@ -75,6 +94,20 @@ class DownTransition(nn.Module):
         out = down
         if self.dropout:
             out = ChannelDropout()(out, deterministic=not train)
+        if self.conv_impl == "pallas":
+            from ..ops import pallas_conv5 as pc
+            if pc.head_eligible(out.shape, out_channels, out_channels,
+                                dtype=out.dtype):
+                # residual nConv stack in the Pallas kernel layout: one
+                # transpose in/out per transition instead of layout
+                # copies at every conv / BN boundary.
+                outk = NConvs(out_channels, self.n_convs, elu=self.elu,
+                              dtype=self.dtype, conv_impl="pallas",
+                              layout="kl")(pc.to_kl(out), train)
+                outk = outk + pc.to_kl(down)
+                outk = Activation(elu=self.elu, dtype=self.dtype,
+                                  channel_axis=2)(outk)
+                return pc.from_kl(outk)
         out = NConvs(out_channels, self.n_convs, elu=self.elu,
                      dtype=self.dtype,
                      conv_impl=self.conv_impl)(out, train)
@@ -114,6 +147,19 @@ class UpTransition(nn.Module):
         out = BatchNorm3D(dtype=self.dtype)(out, train)
         out = Activation(elu=self.elu, dtype=self.dtype)(out)
         xcat = jnp.concatenate([out, skip.astype(self.dtype)], axis=-1)
+        if self.conv_impl == "pallas":
+            from ..ops import pallas_conv5 as pc
+            if pc.head_eligible(xcat.shape, self.out_channels,
+                                self.out_channels, dtype=xcat.dtype):
+                xcatk = pc.to_kl(xcat)
+                outk = NConvs(self.out_channels, self.n_convs,
+                              elu=self.elu, dtype=self.dtype,
+                              conv_impl="pallas",
+                              layout="kl")(xcatk, train)
+                outk = outk + xcatk
+                outk = Activation(elu=self.elu, dtype=self.dtype,
+                                  channel_axis=2)(outk)
+                return pc.from_kl(outk)
         out = NConvs(self.out_channels, self.n_convs, elu=self.elu,
                      dtype=self.dtype,
                      conv_impl=self.conv_impl)(xcat, train)
@@ -143,8 +189,19 @@ class OutputTransition(nn.Module):
         # (ops/narrow_conv.py); 'lane_pad' zero-pads onto the MXU.
         lane_pad = {"default": False, "lane_pad": True,
                     "narrow": "narrow", "pallas": "pallas"}[self.head_conv]
-        out = ConvBNAct(self.num_classes, (5, 5, 5), elu=self.elu,
-                        dtype=self.dtype, lane_pad=lane_pad)(x, train)
+        use_kl = False
+        if self.head_conv == "pallas":
+            from ..ops import pallas_conv5 as pc
+            use_kl = pc.head_eligible(x.shape, x.shape[-1],
+                                      self.num_classes, dtype=x.dtype)
+        if use_kl:
+            outk = ConvBNAct(self.num_classes, (5, 5, 5), elu=self.elu,
+                             dtype=self.dtype, lane_pad="pallas",
+                             layout="kl")(pc.to_kl(x), train)
+            out = pc.from_kl(outk)
+        else:
+            out = ConvBNAct(self.num_classes, (5, 5, 5), elu=self.elu,
+                            dtype=self.dtype, lane_pad=lane_pad)(x, train)
         out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
                       kernel_init=nn.initializers.he_normal())(out)
         return out

@@ -137,6 +137,21 @@ def stem_eligible(x_shape: Tuple[int, ...], ci: int, co: int,
                      False) is not None)
 
 
+def _kl_to_x_shape(xk_shape):
+    """Kernel-layout [N, D, C, H, W] -> the NDHWC shape the eligibility
+    helpers reason about."""
+    n, d, c, h, w = xk_shape
+    return (n, d, h, w, c)
+
+
+def head_eligible_kl(xk_shape, ci, co, dtype=jnp.float32):
+    return head_eligible(_kl_to_x_shape(xk_shape), ci, co, dtype)
+
+
+def stem_eligible_kl(xk_shape, ci, co, dtype=jnp.float32):
+    return stem_eligible(_kl_to_x_shape(xk_shape), ci, co, dtype)
+
+
 # ----------------------------------------------------------------------
 # the unified kernel
 # ----------------------------------------------------------------------
@@ -273,18 +288,39 @@ def _pad_flat(xt):
 
 
 # ----------------------------------------------------------------------
+# kernel layout ("kl"): [N, D, C, H, W] — the layout the kernels natively
+# read and write (channels on sublanes, W on lanes). Chaining convs /
+# BN / activations in this layout avoids the NDHWC<->kernel layout copy
+# XLA inserts around every custom call (~2.2 ms per 128^3 b2 tensor,
+# ~108 ms/step of copies+pads in the round-3 train profile).
+# ----------------------------------------------------------------------
+def to_kl(x):
+    """NDHWC -> kernel layout [N, D, C, H, W] (one transpose)."""
+    return jnp.transpose(x, (0, 1, 4, 2, 3))
+
+
+def from_kl(xk):
+    """Kernel layout [N, D, C, H, W] -> NDHWC (one transpose)."""
+    return jnp.transpose(xk, (0, 1, 3, 4, 2))
+
+
+# ----------------------------------------------------------------------
 # head: general C_in, small C_out
 # ----------------------------------------------------------------------
-def _conv5_head_pallas(x, w, b, *, interpret=False):
-    n, d, h, ww, ci = x.shape
+def _conv5_head_kl(xk, w, b, *, interpret=False):
+    """Head conv in kernel layout: [N, D, Ci, H, W] -> [N, D, Co, H, W].
+
+    No transposes — the halo/margin pads and the flat reshape are the
+    only XLA glue, so consecutive convs (and the BN/PReLU between them)
+    chain without layout copies."""
+    n, d, ci, h, ww = xk.shape
     co = w.shape[-1]
-    dt = x.dtype
+    dt = xk.dtype
     ci_p = _round_up(ci, _sublane(dt))
     co_p = _round_up(co, 8)
 
-    # [N, D, H, W, Ci] -> [N, D+4, Ci', M + (H+4)*W + M]
-    xt = jnp.transpose(x, (0, 1, 4, 2, 3))
-    xt = jnp.pad(xt, ((0, 0), (P, P), (0, ci_p - ci), (P, P), (0, 0)))
+    # [N, D, Ci, H, W] -> [N, D+4, Ci', M + (H+4)*W + M]
+    xt = jnp.pad(xk, ((0, 0), (P, P), (0, ci_p - ci), (P, P), (0, 0)))
     xt = _pad_flat(xt.reshape(n, d + 2 * P, ci_p, (h + 2 * P) * ww))
 
     # weights: [5,5,5,Ci,Co] -> rows (chunk, kh, kw, cc), cols (kd, ci)
@@ -300,24 +336,31 @@ def _conv5_head_pallas(x, w, b, *, interpret=False):
     out = _run_conv5(xt, lhs, bias, n=n, d_out=d, h=h, w=ww, kd_n=K,
                      ci_p=ci_p, co_p=co_p, dtype=dt, fold_kw=True,
                      interpret=interpret)
-    return _finish(out, n, d, h, ww, co)
+    return out.reshape(n, d, co_p, h, ww)[:, :, :co]
+
+
+def _conv5_head_pallas(x, w, b, *, interpret=False):
+    return from_kl(_conv5_head_kl(to_kl(x), w, b, interpret=interpret))
 
 
 # ----------------------------------------------------------------------
 # stem: C_in = 1 — kd AND kw taps folded into pre-shifted channels
 # ----------------------------------------------------------------------
-def _conv5_stem_pallas(x, w, b, *, interpret=False):
-    n, d, h, ww, ci = x.shape
+def _conv5_stem_kl(xk, w, b, *, interpret=False):
+    """Stem conv: [N, D, 1, H, W] -> [N, D, Co, H, W]. The input layout
+    is immaterial (the 25 shifted copies are built from the squeezed
+    volume either way), so this is also the NDHWC path's workhorse."""
+    n, d, ci, h, ww = xk.shape
     assert ci == 1
     co = w.shape[-1]
-    dt = x.dtype
+    dt = xk.dtype
     ci_p = _round_up(K * K, _sublane(dt))
     co_p = _round_up(co, 8)
 
     # channel (kd*5 + kw) of xt holds x shifted by (kd-2, kw-2) along
     # (D, W), zero-padded SAME: the kernel contracts channels exactly
     # like the head contracts (kd, ci) and needs no fold-time masks.
-    xp = jnp.pad(x[..., 0], ((0, 0), (P, P), (P, P), (P, P)))
+    xp = jnp.pad(xk[:, :, 0], ((0, 0), (P, P), (P, P), (P, P)))
     chans = [xp[:, kd:kd + d, :, kw:kw + ww]
              for kd in range(K) for kw in range(K)]
     chans += [jnp.zeros_like(chans[0])] * (ci_p - K * K)
@@ -334,7 +377,11 @@ def _conv5_stem_pallas(x, w, b, *, interpret=False):
     out = _run_conv5(xt, lhs, bias, n=n, d_out=d, h=h, w=ww, kd_n=1,
                      ci_p=ci_p, co_p=co_p, dtype=dt, fold_kw=False,
                      interpret=interpret)
-    return _finish(out, n, d, h, ww, co)
+    return out.reshape(n, d, co_p, h, ww)[:, :, :co]
+
+
+def _conv5_stem_pallas(x, w, b, *, interpret=False):
+    return from_kl(_conv5_stem_kl(to_kl(x), w, b, interpret=interpret))
 
 
 # ----------------------------------------------------------------------
@@ -408,18 +455,17 @@ def _pick_hc_wgrad(h, w, ci_p, mg, kd_n, itemsize,
     return None
 
 
-def _expand_g_head(g, co, mg, dt):
-    """ge rows (kh, kw, co): g shifted by (+kh rows, +(kw-2) cols) on the
-    (H+4)-padded flat grid, zeros outside — the kw SAME mask is realized
-    by the zero padding.
+def _expand_g_head(gk, co, mg, dt):
+    """ge rows (kh, kw, co): g (kernel layout [N, D, co, H, W]) shifted
+    by (+kh rows, +(kw-2) cols) on the (H+4)-padded flat grid, zeros
+    outside — the kw SAME mask is realized by the zero padding.
 
-    co is moved OFF the minor axis before any stacking: a 6D
-    intermediate with a tiny channels-minor dim gets lane-padded to 128
-    by XLA's tiled layout (42x HBM for co=3 — measured as a 27.7 GB
-    allocation in the b2 train step)."""
-    n, d, h, w, _ = g.shape
-    gt = jnp.transpose(g, (0, 1, 4, 2, 3))  # [N, D, co, H, W]
-    gp = jnp.pad(gt, ((0, 0), (0, 0), (0, 0), (0, 0), (P, P)))
+    co is kept OFF the minor axis throughout: a 6D intermediate with a
+    tiny channels-minor dim gets lane-padded to 128 by XLA's tiled
+    layout (42x HBM for co=3 — measured as a 27.7 GB allocation in the
+    b2 train step)."""
+    n, d, _, h, w = gk.shape
+    gp = jnp.pad(gk, ((0, 0), (0, 0), (0, 0), (0, 0), (P, P)))
     chans = []
     for kh in range(K):
         for kw in range(K):
@@ -433,11 +479,11 @@ def _expand_g_head(g, co, mg, dt):
     return _pad_flat(ge).astype(dt)
 
 
-def _expand_g_stem(g, co, mg, dt):
-    """ge rows (kh, co): kw lives in the x channels for the stem."""
-    n, d, h, w, _ = g.shape
-    gt = jnp.transpose(g, (0, 1, 4, 2, 3))  # [N, D, co, H, W]
-    chans = [jnp.pad(gt, ((0, 0), (0, 0), (0, 0), (kh, 2 * P - kh),
+def _expand_g_stem(gk, co, mg, dt):
+    """ge rows (kh, co): kw lives in the x channels for the stem.
+    gk is kernel layout [N, D, co, H, W]."""
+    n, d, _, h, w = gk.shape
+    chans = [jnp.pad(gk, ((0, 0), (0, 0), (0, 0), (kh, 2 * P - kh),
                           (0, 0))) for kh in range(K)]
     ge = jnp.stack(chans, axis=2)  # [N, D, 5, co, H+4, W]
     ge = ge.reshape(n, d, K * co, (h + 2 * P) * w)
@@ -496,13 +542,13 @@ def _wgrad_mid_kernel(xt_ref, ge_ref, out_ref, slab, gbuf, sems,
     out_ref[:] = out_ref[:] + partial.reshape(K, kd_n * ci_p, mg)
 
 
-def _expand_g_kw(g, co, ws, dt):
-    """[N, D, (kw, co), H*ws]: g shifted by (kw-2) along W, zeros at the
-    W edges (the SAME mask), channels kept off the minor axis, each
-    image row padded to the ws lane stride."""
-    n, d, h, w, _ = g.shape
-    gt = jnp.transpose(g, (0, 1, 4, 2, 3))  # [N, D, co, H, W]
-    gp = jnp.pad(gt, ((0, 0), (0, 0), (0, 0), (0, 0), (P, P)))
+def _expand_g_kw(gk, co, ws, dt):
+    """[N, D, (kw, co), H*ws]: g (kernel layout [N, D, co, H, W])
+    shifted by (kw-2) along W, zeros at the W edges (the SAME mask),
+    channels kept off the minor axis, each image row padded to the ws
+    lane stride."""
+    n, d, _, h, w = gk.shape
+    gp = jnp.pad(gk, ((0, 0), (0, 0), (0, 0), (0, 0), (P, P)))
     chans = [gp[:, :, :, :, 2 * P - kw:2 * P - kw + w]
              for kw in range(K)]
     ge = jnp.stack(chans, axis=2)  # [N, D, 5, co, H, W]
@@ -515,24 +561,30 @@ def _wgrad_mid_ok(x_shape, ci, co, dtype):
     ws = max(w, 128)
     ci_p = _round_up(ci, _sublane(dtype))
     return (ci <= 64 and co <= 64 and w % 32 == 0 and ws % w == 0 and
-            _pick_hc_wgrad(h, ws, ci_p, K * co, K,
+            _pick_hc_wgrad(h, ws, ci_p, _round_up(K * co, 8), K,
                            jnp.dtype(dtype).itemsize, mid=True)
             is not None)
 
 
-def _conv5_wgrad_mid_pallas(x, g, *, interpret=False):
-    n, d, h, ww, ci = x.shape
-    co = g.shape[-1]
-    dt = x.dtype
+def _conv5_wgrad_mid_kl(xk, gk, *, interpret=False):
+    """Mid wgrad in kernel layout: xk [N,D,Ci,H,W], gk [N,D,Co,H,W]."""
+    n, d, ci, h, ww = xk.shape
+    co = gk.shape[2]
+    dt = xk.dtype
     ci_p = _round_up(ci, _sublane(dt))
-    mg = K * co
+    # mg rows must be a sublane-tile multiple or Mosaic rejects the ge
+    # DMA ("Slice shape along dimension 2 must be aligned to tiling
+    # (8)") — K*co is only aligned by luck for co in {16, 32, 64}; the
+    # 20-class spine head (K*co = 100) needs the explicit pad.
+    mg = _round_up(K * co, 8)
     ws = max(ww, 128) if not interpret else ww  # pad rows to lane stride
 
-    xt = jnp.transpose(x, (0, 1, 4, 2, 3))
-    xt = jnp.pad(xt, ((0, 0), (P, P), (0, ci_p - ci), (P, P),
+    xt = jnp.pad(xk, ((0, 0), (P, P), (0, ci_p - ci), (P, P),
                       (0, ws - ww)))
     xt = _pad_flat(xt.reshape(n, d + 2 * P, ci_p, (h + 2 * P) * ws))
-    ge = _expand_g_kw(g, co, ws, dt)
+    ge = _expand_g_kw(gk, co, ws, dt)
+    if mg > K * co:
+        ge = jnp.pad(ge, ((0, 0), (0, 0), (0, mg - K * co), (0, 0)))
 
     hc = _pick_hc_wgrad(h, ws, ci_p, mg, K, jnp.dtype(dt).itemsize,
                         align=not interpret, mid=True)
@@ -560,37 +612,41 @@ def _conv5_wgrad_mid_pallas(x, g, *, interpret=False):
         interpret=interpret,
     )(xt, ge)
 
-    # [kh, kd, ci_p, kw, co] -> [kd, kh, kw, ci, co]
-    dw = out.reshape(K, K, ci_p, K, co)[:, :, :ci]
+    # [kh, kd, ci_p, (kw, co)] -> [kd, kh, kw, ci, co]
+    dw = out[:, :, :K * co].reshape(K, K, ci_p, K, co)[:, :, :ci]
     return jnp.transpose(dw, (1, 0, 3, 2, 4))
 
 
-def _conv5_wgrad_pallas(x, g, kind, *, interpret=False):
-    n, d, h, ww, ci = x.shape
-    co = g.shape[-1]
-    dt = x.dtype
+def _conv5_wgrad_mid_pallas(x, g, *, interpret=False):
+    return _conv5_wgrad_mid_kl(to_kl(x), to_kl(g), interpret=interpret)
+
+
+def _conv5_wgrad_kl(xk, gk, kind, *, interpret=False):
+    """Std wgrad in kernel layout: xk [N,D,Ci,H,W], gk [N,D,Co,H,W]."""
+    n, d, ci, h, ww = xk.shape
+    co = gk.shape[2]
+    dt = xk.dtype
     if kind == "stem":
         ci_p = _round_up(K * K, _sublane(dt))
         kd_n, grp = 1, co
         mg = _round_up(K * co, _sublane(dt))
-        xp = jnp.pad(x[..., 0], ((0, 0), (P, P), (P, P), (P, P)))
+        xp = jnp.pad(xk[:, :, 0], ((0, 0), (P, P), (P, P), (P, P)))
         chans = [xp[:, kd:kd + d, :, kw:kw + ww]
                  for kd in range(K) for kw in range(K)]
         chans += [jnp.zeros_like(chans[0])] * (ci_p - K * K)
         xt = _pad_flat(jnp.stack(chans, axis=2).reshape(
             n, d, ci_p, (h + 2 * P) * ww))
-        ge = _expand_g_stem(g, co, mg, dt)
+        ge = _expand_g_stem(gk, co, mg, dt)
         d_out = d
     else:
         ci_p = _round_up(ci, _sublane(dt))
         kd_n, grp = K, K * co
         mg = _round_up(K * K * co, _sublane(dt))
-        xt = jnp.transpose(x, (0, 1, 4, 2, 3))
-        xt = jnp.pad(xt, ((0, 0), (P, P), (0, ci_p - ci), (P, P),
+        xt = jnp.pad(xk, ((0, 0), (P, P), (0, ci_p - ci), (P, P),
                           (0, 0)))
         xt = _pad_flat(xt.reshape(n, d + 2 * P, ci_p,
                                   (h + 2 * P) * ww))
-        ge = _expand_g_head(g, co, mg, dt)
+        ge = _expand_g_head(gk, co, mg, dt)
         d_out = d
 
     hc = _pick_hc_wgrad(h, ww, ci_p, mg, kd_n,
@@ -629,6 +685,10 @@ def _conv5_wgrad_pallas(x, g, kind, *, interpret=False):
         dw = out[:, :K * K * co].reshape(K, ci_p, K, K, co)[:, :ci]
         dw = jnp.transpose(dw, (0, 2, 3, 1, 4))
     return dw
+
+
+def _conv5_wgrad_pallas(x, g, kind, *, interpret=False):
+    return _conv5_wgrad_kl(to_kl(x), to_kl(g), kind, interpret=interpret)
 
 
 # ----------------------------------------------------------------------
@@ -774,6 +834,190 @@ def _cp_wgrad(which, kind, interpret):
     fn.def_partition(infer_sharding_from_operands=infer, partition=part,
                      sharding_rule="n d h w i, n d h w o -> a b c i o")
     return fn
+
+
+# ----------------------------------------------------------------------
+# SPMD partitioning for the kernel-layout ops ([N, D, C, H, W]:
+# batch at axis 0, the shardable spatial H axis at axis 3)
+# ----------------------------------------------------------------------
+def _xk_axes(arg_info):
+    """(batch_axis, h_axis) mesh-axis names of a kernel-layout
+    [N, D, C, H, W] operand's sharding; None = unsharded."""
+    s = getattr(arg_info, "sharding", None)
+    if not isinstance(s, NamedSharding):
+        return None, None
+    spec = tuple(s.spec) + (None,) * (5 - len(s.spec))
+    return spec[0], spec[3]
+
+
+def _halo_h_kl(x, hax, size):
+    """P-row halo exchange along the kernel-layout H axis (axis 3)."""
+    top = jax.lax.ppermute(x[:, :, :, -P:], hax,
+                           [(i, i + 1) for i in range(size - 1)])
+    bot = jax.lax.ppermute(x[:, :, :, :P], hax,
+                           [(i + 1, i) for i in range(size - 1)])
+    return jnp.concatenate([top, x, bot], axis=3)
+
+
+def _conv5_xla_kl(xk, w, b):
+    """XLA fallback in kernel layout (NCDHW-ish dimension numbers:
+    channels at index 2)."""
+    out = jax.lax.conv_general_dilated(
+        xk, w, window_strides=(1, 1, 1), padding="SAME",
+        dimension_numbers=("NDCHW", "DHWIO", "NDCHW"))
+    return out + b.astype(out.dtype).reshape(-1, 1, 1)
+
+
+@functools.lru_cache(maxsize=None)
+def _cp_batchmap_kl(kind, interpret):
+    """Kernel-layout twin of :func:`_cp_batchmap`: batch maps across
+    shards, an H-sharded (axis 3) operand gets the P-row halo
+    exchange + slice; weights stay replicated."""
+    impl = {"head": _conv5_head_kl, "stem": _conv5_stem_kl}[kind]
+    ok = {"head": head_eligible_kl, "stem": stem_eligible_kl}[kind]
+
+    def call(xk, w, b):
+        return impl(xk, w, b, interpret=interpret)
+
+    fn = custom_partitioning(call)
+
+    def infer(mesh, arg_infos, result_infos):
+        batch, hax = _xk_axes(arg_infos[0])
+        return NamedSharding(mesh, PartitionSpec(batch, None, None, hax))
+
+    def part(mesh, arg_infos, result_infos):
+        batch, hax = _xk_axes(arg_infos[0])
+        repl = NamedSharding(mesh, PartitionSpec())
+        if hax is not None and arg_infos[0].shape[3] % int(
+                mesh.shape[hax]) != 0:
+            hax = None  # uneven H shards pad — replicate H instead
+        x_sh = NamedSharding(mesh, PartitionSpec(batch, None, None, hax))
+        out_sh = NamedSharding(mesh, PartitionSpec(batch, None, None,
+                                                   hax))
+        if hax is None:
+            return mesh, call, out_sh, (x_sh, repl, repl)
+
+        size = int(mesh.shape[hax])
+
+        def lower(xk, w, b):
+            xe = _halo_h_kl(xk, hax, size)
+            if ok(xe.shape, xe.shape[2], w.shape[-1], dtype=xe.dtype):
+                y = call(xe, w, b)
+            else:
+                y = _conv5_xla_kl(xe, w, b)
+            return y[:, :, :, P:-P]
+
+        return mesh, lower, out_sh, (x_sh, repl, repl)
+
+    fn.def_partition(infer_sharding_from_operands=infer, partition=part,
+                     sharding_rule="n d i h w, a b c i o, o -> n d o h w")
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _cp_wgrad_kl(which, kind, interpret):
+    """Kernel-layout twin of :func:`_cp_wgrad`: per-shard partial dw
+    psum'd over the batch (and H) mesh axes."""
+    if which == "mid":
+        def impl(xk, gk):
+            return _conv5_wgrad_mid_kl(xk, gk, interpret=interpret)
+    else:
+        def impl(xk, gk):
+            return _conv5_wgrad_kl(xk, gk, kind, interpret=interpret)
+
+    fn = custom_partitioning(impl)
+
+    def infer(mesh, arg_infos, result_infos):
+        return NamedSharding(mesh, PartitionSpec())
+
+    def part(mesh, arg_infos, result_infos):
+        batch, hax = _xk_axes(arg_infos[0])
+        if hax is not None and arg_infos[0].shape[3] % int(
+                mesh.shape[hax]) != 0:
+            hax = None
+        x_sh = NamedSharding(mesh, PartitionSpec(batch, None, None, hax))
+        repl = NamedSharding(mesh, PartitionSpec())
+        axes = tuple(a for a in (batch, hax) if a is not None)
+
+        def lower(xk, gk):
+            if hax is not None:
+                size = int(mesh.shape[hax])
+                xk = _halo_h_kl(xk, hax, size)
+                gk = jnp.pad(gk, ((0, 0), (0, 0), (0, 0), (P, P),
+                                  (0, 0)))
+            ci, co = xk.shape[2], gk.shape[2]
+            xs = _kl_to_x_shape(xk.shape)
+            wgrad_ok = (_head_ok(xs, ci, co, xk.dtype, 16)
+                        if kind == "head"
+                        else stem_eligible(xs, ci, co, xk.dtype))
+            if which == "mid":
+                wgrad_ok = _wgrad_mid_ok(xs, ci, co, xk.dtype)
+            if wgrad_ok:
+                dw = impl(xk, gk)
+            else:
+                zw = jnp.zeros((K, K, K, ci, co), xk.dtype)
+                zb = jnp.zeros((co,), xk.dtype)
+                dw = jax.vjp(
+                    lambda w_: _conv5_xla_kl(xk, w_, zb), zw)[1](gk)[0]
+            if axes:
+                dw = jax.lax.psum(dw, axes)
+            return dw
+
+        return mesh, lower, repl, (x_sh, x_sh)
+
+    fn.def_partition(infer_sharding_from_operands=infer, partition=part,
+                     sharding_rule="n d i h w, n d o h w -> a b c i o")
+    return fn
+
+
+# ----------------------------------------------------------------------
+# public kernel-layout op with Pallas backward
+# ----------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv5_kl(xk, w, b, kind="head", interpret=False):
+    """5^3 SAME conv in kernel layout.
+
+    Args:
+        xk: [N, D, Ci, H, W]; w: [5, 5, 5, Ci, Co]; b: [Co].
+        kind: 'head' (general Ci, small Co) or 'stem' (C_in=1).
+    Returns [N, D, Co, H, W]. Semantics identical to :func:`conv5` on
+    the transposed operand, without the NDHWC layout round trip.
+    """
+    return _cp_batchmap_kl(kind, interpret)(xk, w, b)
+
+
+def _conv5_kl_fwd(xk, w, b, kind, interpret):
+    return conv5_kl(xk, w, b, kind, interpret), (xk, w, b)
+
+
+def _conv5_kl_bwd(kind, interpret, res, gk):
+    xk, w, b = res
+    ci, co = xk.shape[2], gk.shape[2]
+    dt = xk.dtype
+    gs = _kl_to_x_shape(gk.shape)
+    xs = _kl_to_x_shape(xk.shape)
+    # dx is a 5^3 SAME conv of g (Ci=co -> Co=ci)
+    if _head_ok(gs, co, ci, dt, 64):
+        wflip = jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
+        dx = _cp_batchmap_kl("head", interpret)(
+            gk, wflip, jnp.zeros((ci,), dt)).astype(xk.dtype)
+    else:
+        dx = jax.vjp(lambda x_: _conv5_xla_kl(x_, w, b), xk)[1](gk)[0]
+    # dw: the lane-contraction kernel; Mg = 25*co rows must stay modest
+    wgrad_ok = (_head_ok(xs, ci, co, dt, 16) if kind == "head"
+                else stem_eligible(xs, ci, co, dt))
+    if wgrad_ok:
+        dw = _cp_wgrad_kl("std", kind, interpret)(xk, gk).astype(w.dtype)
+    elif kind == "head" and _wgrad_mid_ok(xs, ci, co, dt):
+        dw = _cp_wgrad_kl("mid", kind, interpret)(xk, gk).astype(w.dtype)
+    else:
+        dw = jax.vjp(lambda w_: _conv5_xla_kl(xk, w_, b), w)[1](gk)[0]
+    db = jnp.sum(gk.astype(jnp.float32), axis=(0, 1, 3, 4)).astype(
+        b.dtype)
+    return (dx, dw, db)
+
+
+conv5_kl.defvjp(_conv5_kl_fwd, _conv5_kl_bwd)
 
 
 # ----------------------------------------------------------------------

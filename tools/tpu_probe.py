@@ -171,6 +171,237 @@ def probe_train_profile(steps=3):
         print("{:>12.2f} ms  {}".format(dur / 1e3 / steps, name[:110]))
 
 
+def _device_busy(outdir, steps):
+    """Parse the latest trace in outdir: per-track busy totals keyed by
+    the trace's process/thread names, separating device lanes from host
+    threads (the old name-keyed aggregation double-counted host rows and
+    hid the true device busy time)."""
+    import glob
+
+    traces = sorted(glob.glob(outdir + "/**/*.trace.json.gz",
+                              recursive=True))
+    if not traces:
+        print("no trace written")
+        return
+    with gzip.open(traces[-1], "rt") as f:
+        events = json.load(f).get("traceEvents", [])
+    pnames, tnames = {}, {}
+    for e in events:
+        if e.get("ph") == "M":
+            if e.get("name") == "process_name":
+                pnames[e["pid"]] = e["args"].get("name", "?")
+            elif e.get("name") == "thread_name":
+                tnames[(e["pid"], e.get("tid"))] = \
+                    e["args"].get("name", "?")
+    busy, span = {}, {}
+    for e in events:
+        if e.get("ph") == "X" and "dur" in e:
+            key = (e["pid"], e.get("tid"))
+            busy[key] = busy.get(key, 0) + e["dur"]
+            t0, t1 = e["ts"], e["ts"] + e["dur"]
+            lo, hi = span.get(key, (t0, t1))
+            span[key] = (min(lo, t0), max(hi, t1))
+    rows = []
+    for key, b in busy.items():
+        pid, tid = key
+        label = "{} / {}".format(pnames.get(pid, pid),
+                                 tnames.get(key, tid))
+        lo, hi = span[key]
+        rows.append((b, hi - lo, label))
+    for b, s, label in sorted(rows, reverse=True)[:14]:
+        print("  track busy {:>9.2f} ms  span {:>9.2f} ms  /step "
+              "busy {:>8.2f} ms  {}".format(
+                  b / 1e3, s / 1e3, b / 1e3 / steps, label[:80]))
+
+
+def probe_dispatch():
+    """Settle the wall-vs-device question: single-step and 8-step train
+    programs, wall per dispatch with async enqueue, plus per-track
+    device busy time from the profiler."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from medicalseg_tpu.core.state import (TrainState, make_multi_step,
+                                           make_train_step)
+    from medicalseg_tpu.models import VNet
+    from medicalseg_tpu.models.losses import (CrossEntropyLoss, DiceLoss,
+                                              MixedLoss)
+    from medicalseg_tpu.transforms import (DeviceAugmentor, RandomFlip3D,
+                                           RandomResizedCrop3D)
+
+    batch = 2
+    model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
+                 remat=True, head_conv="pallas", mid_conv="pallas")
+    losses = {"types": [MixedLoss([CrossEntropyLoss(), DiceLoss()],
+                                  [1.0, 1.0])], "coef": [1]}
+    tx = optax.chain(optax.add_decayed_weights(1e-4),
+                     optax.sgd(optax.polynomial_schedule(1e-3, 0, 0.9,
+                                                         15000),
+                               momentum=0.9))
+    aug = DeviceAugmentor([RandomResizedCrop3D(size=128, scale=(0.8, 1.2)),
+                           RandomFlip3D()])
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(1)
+
+    # --- single step -------------------------------------------------
+    step = jax.jit(make_train_step(losses, augment_fn=aug._augment_batch),
+                   donate_argnums=(0,))
+    state = TrainState.create(
+        model, tx, jnp.zeros((batch, 128, 128, 128, 1)),
+        jax.random.PRNGKey(0))
+    images = jnp.asarray(rng.rand(batch, 128, 128, 128).astype(np.float32))
+    labels = jnp.asarray(
+        rng.randint(0, 3, (batch, 128, 128, 128)).astype(np.int32))
+    state, m = step(state, images, labels, key)
+    _sync(m["loss"])
+
+    # sync every call (includes full dispatch+result latency) ...
+    t0 = time.time()
+    for _ in range(5):
+        state, m = step(state, images, labels, key)
+        _sync(m["loss"])
+    print("single-step, sync each: {:.0f} ms/step".format(
+        (time.time() - t0) / 5 * 1e3))
+    # ... vs 10 async enqueues, one fence (device FIFO back-to-back)
+    t0 = time.time()
+    for _ in range(10):
+        state, m = step(state, images, labels, key)
+    _sync(m["loss"])
+    print("single-step, async x10: {:.0f} ms/step".format(
+        (time.time() - t0) / 10 * 1e3))
+
+    steps = 3
+    outdir = "/tmp/dispatch_trace_single"
+    with jax.profiler.trace(outdir):
+        for _ in range(steps):
+            state, m = step(state, images, labels, key)
+        _sync(m["loss"])
+    print("single-step trace ({} steps):".format(steps))
+    _device_busy(outdir, steps)
+
+    # --- 8-step dispatch --------------------------------------------
+    n = 8
+    mstep = jax.jit(make_multi_step(losses, n,
+                                    augment_fn=aug._augment_batch),
+                    donate_argnums=(0,))
+    state2 = TrainState.create(
+        model, tx, jnp.zeros((batch, 128, 128, 128, 1)),
+        jax.random.PRNGKey(0))
+    imgs = jnp.asarray(rng.rand(n, batch, 128, 128, 128)
+                       .astype(np.float32))
+    lbls = jnp.asarray(
+        rng.randint(0, 3, (n, batch, 128, 128, 128)).astype(np.int32))
+    state2, m2 = mstep(state2, imgs, lbls, key)
+    _sync(m2["loss"])
+    t0 = time.time()
+    for _ in range(3):
+        state2, m2 = mstep(state2, imgs, lbls, key)
+    _sync(m2["loss"])
+    dt = (time.time() - t0) / 3
+    print("8-step dispatch: {:.0f} ms = {:.0f} ms/step".format(
+        dt * 1e3, dt / n * 1e3))
+    outdir = "/tmp/dispatch_trace_multi"
+    with jax.profiler.trace(outdir):
+        state2, m2 = mstep(state2, imgs, lbls, key)
+        _sync(m2["loss"])
+    print("8-step trace (1 dispatch = 8 steps):")
+    _device_busy(outdir, n)
+
+
+def probe_serving(batch=4, n_volumes=20, iters=3):
+    """Why is batched serving slower than unbatched? Compare:
+    A. one program: lax.scan per-volume prep + batched forward
+       (bench_pipeline_batched's current shape)
+    B. per-volume prep dispatches (pipelined) + one batched forward
+    C. unbatched: per-volume prep+fwd dispatches (the 13.3 vps baseline)
+    and trace A to see where its device time goes."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from medicalseg_tpu import ops
+    from medicalseg_tpu.core.state import TrainState
+    from medicalseg_tpu.models import VNet
+
+    size, raw_shape = 128, (200, 512, 512)
+    conv = "pallas"
+    model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
+                 head_conv=conv, mid_conv=conv)
+    state = TrainState.create(
+        model, optax.sgd(1e-3),
+        jnp.zeros((batch, size, size, size, 1), jnp.float32),
+        jax.random.PRNGKey(0))
+    variables = state.variables
+
+    def prep_one(raw):
+        vol = ops.hu_norm_resize(raw, (size, size, size))
+        return vol / jnp.maximum(jnp.max(vol), 1e-6)
+
+    @jax.jit
+    def fwd_batched(variables, vols):
+        logits = model.apply(variables, vols[..., None], train=False)[0]
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    @jax.jit
+    def scan_prep_fwd(variables, raws):
+        _, vols = jax.lax.scan(lambda _, r: (None, prep_one(r)),
+                               None, raws)
+        return fwd_batched.__wrapped__(variables, vols)
+
+    prep_j = jax.jit(prep_one)
+
+    @jax.jit
+    def prep_fwd_one(variables, raw):
+        logits = model.apply(variables, prep_one(raw)[None, ..., None],
+                             train=False)[0]
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    rng = np.random.RandomState(0)
+    raws_l = [jnp.asarray(rng.uniform(-1200, 600, raw_shape)
+                          .astype(np.float32)) for _ in range(batch)]
+    raws_s = jnp.stack(raws_l)
+
+    # warmup
+    _sync(scan_prep_fwd(variables, raws_s))
+    _sync(fwd_batched(variables, jnp.stack([prep_j(r) for r in raws_l])))
+    _sync(prep_fwd_one(variables, raws_l[0]))
+
+    n_calls = max(1, n_volumes // batch)
+    for name, run in (
+            ("A scan-prep+fwd one program",
+             lambda: [scan_prep_fwd(variables, raws_s)
+                      for _ in range(n_calls)][-1]),
+            ("B per-vol prep dispatches + batched fwd",
+             lambda: [fwd_batched(variables, jnp.stack(
+                 [prep_j(r) for r in raws_l]))
+                 for _ in range(n_calls)][-1]),
+            ("C unbatched prep+fwd per volume",
+             lambda: [prep_fwd_one(variables, r)
+                      for _ in range(n_calls) for r in raws_l][-1])):
+        best = 0.0
+        for _ in range(iters):
+            t0 = time.time()
+            out = run()
+            _sync(out)
+            best = max(best, n_calls * batch / (time.time() - t0))
+        print("{}: {:.2f} vol/s".format(name, best))
+
+    outdir = "/tmp/serving_trace_scan"
+    with jax.profiler.trace(outdir):
+        o = scan_prep_fwd(variables, raws_s)
+        _sync(o)
+    print("A trace (1 dispatch = {} volumes):".format(batch))
+    _device_busy(outdir, batch)
+    outdir = "/tmp/serving_trace_unb"
+    with jax.profiler.trace(outdir):
+        for r in raws_l:
+            o = prep_fwd_one(variables, r)
+        _sync(o)
+    print("C trace ({} volumes):".format(batch))
+    _device_busy(outdir, batch)
+
+
 def probe_pallas(iters=20):
     """Real-TPU numerics + timing of the conv5 Pallas kernels at VNet's
     hot shapes, against the XLA conv they replace."""
@@ -309,6 +540,10 @@ def main():
         probe_model_fwd()
     if which == "model_fwd_trace":
         probe_model_fwd_trace()
+    if which == "dispatch":
+        probe_dispatch()
+    if which == "serving":
+        probe_serving()
     if which in ("train_profile", "all"):
         probe_train_profile()
 
