@@ -86,10 +86,24 @@ class BatchNorm3D(nn.Module):
                           jnp.float32)
 
         if train:
-            axes = tuple(a for a in range(x.ndim) if a != cax)
             xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=axes)
-            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            if cax != x.ndim - 1:
+                # kernel layout [N, D, C, H, W]: reduce the minor
+                # (H, W) dims first — a single reduce keeping only the
+                # interior C axis makes XLA relayout the operand
+                # C-minor (tiny-C lane padding, gigabytes at volume
+                # scale); a lanes/sublanes partial reduce keeps the
+                # native layout.
+                minor = tuple(range(cax + 1, x.ndim))
+                rest = tuple(range(cax))
+                mean = jnp.mean(jnp.mean(xf, axis=minor), axis=rest)
+                var = (jnp.mean(jnp.mean(jnp.square(xf), axis=minor),
+                                axis=rest) - jnp.square(mean))
+            else:
+                axes = tuple(range(x.ndim - 1))
+                mean = jnp.mean(xf, axis=axes)
+                var = (jnp.mean(jnp.square(xf), axis=axes) -
+                       jnp.square(mean))
             var = jnp.maximum(var, 0.0)
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value +
@@ -313,10 +327,14 @@ class NConvs(nn.Module):
 
 class ChannelDropout(nn.Module):
     """Dropout3D parity: zeroes whole channels (paddle nn.Dropout3D,
-    reference vnet.py:103). Mask broadcasts over D,H,W."""
+    reference vnet.py:103). Mask broadcasts over D,H,W —
+    ``channel_axis=2`` selects the kernel layout's axes (1, 3, 4)."""
     rate: float = 0.5
+    channel_axis: int = -1
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
-        return nn.Dropout(rate=self.rate, broadcast_dims=(1, 2, 3),
+        cax = self.channel_axis % x.ndim
+        bdims = tuple(a for a in range(1, x.ndim) if a != cax)
+        return nn.Dropout(rate=self.rate, broadcast_dims=bdims,
                           deterministic=deterministic)(x)

@@ -26,14 +26,42 @@ from .layers import (Activation, BatchNorm3D, ChannelDropout, ConvBNAct,
                      NConvs)
 
 
+def boundary_layouts(x_shape, ks, ss, pallas):
+    """Per-stage transition-boundary layout: True = the Pallas kernel
+    layout [N, D, C, H, W], False = NDHWC.
+
+    Shallow stages (wide W, narrow C) can pay ~10x HBM padding as
+    NDHWC on TPU (XLA lane-pads the tiny minor C to 128 on remat
+    pivots / transposes), and none as KL with the wide W extent on
+    lanes; deep stages (W < 128, wide C) are the reverse. W follows
+    the Down path's VALID strided-conv arithmetic. Returns flags for
+    the five encoder levels [out16, out32, out64, out128, out256];
+    decoder levels reuse their skip level's flag."""
+    if not pallas:
+        return [False] * 5
+    w = x_shape[3]
+    flags = [w % 128 == 0]
+    for i in range(4):
+        w = (w - ks[i][2]) // ss[i][2] + 1
+        flags.append(w % 128 == 0)
+    return flags
+
+
 class InputTransition(nn.Module):
     """1->16 channels, 5^3 conv + input-tiling residual
-    (reference vnet.py:57-79)."""
+    (reference vnet.py:57-79).
+
+    ``out_kl=True`` returns the Pallas kernel layout [N, D, C, H, W]
+    instead of NDHWC — chosen per stage by the VNet trunk so the big
+    shallow-stage tensors (remat pivots, skip connections) live with
+    the wide W extent on lanes instead of a tiny lane-padded C (XLA
+    pads C=16 to 128: 10.7x HBM at the 512x512x12 spine geometry)."""
     in_channels: int = 1
     elu: bool = False
     dtype: Any = jnp.float32
     num_features: int = 16
     stem_conv: str = "default"  # 'default' | 'pallas'
+    out_kl: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -56,7 +84,8 @@ class InputTransition(nn.Module):
                 self.dtype)
             out = Activation(elu=self.elu, dtype=self.dtype,
                              channel_axis=2)(out + x_tile)
-            return pc.from_kl(out)
+            return (pc.pin_kl(out) if self.out_kl else
+                    pc.from_kl(out))
         if self.stem_conv == "pallas" and self.in_channels == 1:
             from .layers import PallasConv5
             out = PallasConv5(self.num_features, kind="stem",
@@ -67,7 +96,8 @@ class InputTransition(nn.Module):
                           kernel_init=nn.initializers.he_normal())(x)
         out = BatchNorm3D(dtype=self.dtype)(out, train)
         x_tile = jnp.tile(x, (1, 1, 1, 1, repeat)).astype(self.dtype)
-        return Activation(elu=self.elu, dtype=self.dtype)(out + x_tile)
+        out = Activation(elu=self.elu, dtype=self.dtype)(out + x_tile)
+        return pc.pin_kl(pc.to_kl(out)) if self.out_kl else out
 
 
 class DownTransition(nn.Module):
@@ -81,9 +111,14 @@ class DownTransition(nn.Module):
     down_kernel: Tuple[int, int, int] = (2, 2, 2)
     dtype: Any = jnp.float32
     conv_impl: str = "default"
+    in_kl: bool = False   # x arrives in the Pallas kernel layout
+    out_kl: bool = False  # return the kernel layout
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        from ..ops import pallas_conv5 as pc
+        if self.in_kl:
+            x = pc.from_kl(x)
         out_channels = 2 * self.in_channels
         down = nn.Conv(out_channels, tuple(self.down_kernel),
                        strides=tuple(self.down_stride), padding="VALID",
@@ -95,7 +130,6 @@ class DownTransition(nn.Module):
         if self.dropout:
             out = ChannelDropout()(out, deterministic=not train)
         if self.conv_impl == "pallas":
-            from ..ops import pallas_conv5 as pc
             if pc.head_eligible(out.shape, out_channels, out_channels,
                                 dtype=out.dtype):
                 # residual nConv stack in the Pallas kernel layout: one
@@ -107,12 +141,14 @@ class DownTransition(nn.Module):
                 outk = outk + pc.to_kl(down)
                 outk = Activation(elu=self.elu, dtype=self.dtype,
                                   channel_axis=2)(outk)
-                return pc.from_kl(outk)
+                return (pc.pin_kl(outk) if self.out_kl else
+                        pc.from_kl(outk))
         out = NConvs(out_channels, self.n_convs, elu=self.elu,
                      dtype=self.dtype,
                      conv_impl=self.conv_impl)(out, train)
         out = out + down
-        return Activation(elu=self.elu, dtype=self.dtype)(out)
+        out = Activation(elu=self.elu, dtype=self.dtype)(out)
+        return pc.pin_kl(pc.to_kl(out)) if self.out_kl else out
 
 
 class UpTransition(nn.Module):
@@ -128,15 +164,21 @@ class UpTransition(nn.Module):
     up_kernel: Tuple[int, int, int] = (2, 2, 2)
     dtype: Any = jnp.float32
     conv_impl: str = "default"
+    in_kl: bool = False    # x arrives in the kernel layout
+    skip_kl: bool = False  # skipx arrives in the kernel layout
+    out_kl: bool = False   # return the kernel layout
 
     @nn.compact
     def __call__(self, x, skipx, train: bool = True):
-        out = x
+        from ..ops import pallas_conv5 as pc
+        out = pc.from_kl(x) if self.in_kl else x
         if self.dropout:
             out = ChannelDropout()(out, deterministic=not train)
         skip = skipx
         if self.dropout2:
-            skip = ChannelDropout()(skip, deterministic=not train)
+            skip = ChannelDropout(
+                channel_axis=2 if self.skip_kl else -1)(
+                skip, deterministic=not train)
         # VALID conv_transpose: out = (in-1)*stride + kernel, matching
         # paddle Conv3DTranspose shape math (SURVEY §7 hard parts).
         out = nn.ConvTranspose(self.out_channels // 2,
@@ -146,25 +188,34 @@ class UpTransition(nn.Module):
                                kernel_init=nn.initializers.he_normal())(out)
         out = BatchNorm3D(dtype=self.dtype)(out, train)
         out = Activation(elu=self.elu, dtype=self.dtype)(out)
-        xcat = jnp.concatenate([out, skip.astype(self.dtype)], axis=-1)
-        if self.conv_impl == "pallas":
-            from ..ops import pallas_conv5 as pc
-            if pc.head_eligible(xcat.shape, self.out_channels,
-                                self.out_channels, dtype=xcat.dtype):
-                xcatk = pc.to_kl(xcat)
-                outk = NConvs(self.out_channels, self.n_convs,
-                              elu=self.elu, dtype=self.dtype,
-                              conv_impl="pallas",
-                              layout="kl")(xcatk, train)
-                outk = outk + xcatk
-                outk = Activation(elu=self.elu, dtype=self.dtype,
-                                  channel_axis=2)(outk)
-                return pc.from_kl(outk)
+        cat_shape = out.shape[:4] + (self.out_channels,)
+        if (self.conv_impl == "pallas" and
+                pc.head_eligible(cat_shape, self.out_channels,
+                                 self.out_channels, dtype=out.dtype)):
+            # concat + residual nConv stack in the kernel layout; a
+            # kernel-layout skip concatenates directly on the channel
+            # axis (no transpose of the big skip tensor).
+            skipk = (skip if self.skip_kl else
+                     pc.to_kl(skip)).astype(self.dtype)
+            xcatk = jnp.concatenate([pc.pin_kl(pc.to_kl(out)),
+                                     skipk], axis=2)
+            outk = NConvs(self.out_channels, self.n_convs,
+                          elu=self.elu, dtype=self.dtype,
+                          conv_impl="pallas",
+                          layout="kl")(xcatk, train)
+            outk = outk + xcatk
+            outk = Activation(elu=self.elu, dtype=self.dtype,
+                              channel_axis=2)(outk)
+            return (pc.pin_kl(outk) if self.out_kl else
+                    pc.from_kl(outk))
+        skip_n = pc.from_kl(skip) if self.skip_kl else skip
+        xcat = jnp.concatenate([out, skip_n.astype(self.dtype)], axis=-1)
         out = NConvs(self.out_channels, self.n_convs, elu=self.elu,
                      dtype=self.dtype,
                      conv_impl=self.conv_impl)(xcat, train)
         out = out + xcat
-        return Activation(elu=self.elu, dtype=self.dtype)(out)
+        out = Activation(elu=self.elu, dtype=self.dtype)(out)
+        return pc.pin_kl(pc.to_kl(out)) if self.out_kl else out
 
 
 class OutputTransition(nn.Module):
@@ -179,6 +230,7 @@ class OutputTransition(nn.Module):
     elu: bool = False
     dtype: Any = jnp.float32
     head_conv: str = "default"
+    in_kl: bool = False  # x arrives in the kernel layout
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -187,21 +239,25 @@ class OutputTransition(nn.Module):
         # C_out=3 keeps it off the MXU. head_conv='narrow' reassociates
         # it as (kh,kw,c)-row matmuls + shifted accumulations
         # (ops/narrow_conv.py); 'lane_pad' zero-pads onto the MXU.
+        from ..ops import pallas_conv5 as pc
         lane_pad = {"default": False, "lane_pad": True,
                     "narrow": "narrow", "pallas": "pallas"}[self.head_conv]
+        x_shape = pc._kl_to_x_shape(x.shape) if self.in_kl else x.shape
         use_kl = False
         if self.head_conv == "pallas":
-            from ..ops import pallas_conv5 as pc
-            use_kl = pc.head_eligible(x.shape, x.shape[-1],
+            use_kl = pc.head_eligible(x_shape, x_shape[-1],
                                       self.num_classes, dtype=x.dtype)
         if use_kl:
+            xk = x if self.in_kl else pc.to_kl(x)
             outk = ConvBNAct(self.num_classes, (5, 5, 5), elu=self.elu,
                              dtype=self.dtype, lane_pad="pallas",
-                             layout="kl")(pc.to_kl(x), train)
+                             layout="kl")(xk, train)
             out = pc.from_kl(outk)
         else:
+            xn = pc.from_kl(x) if self.in_kl else x
             out = ConvBNAct(self.num_classes, (5, 5, 5), elu=self.elu,
-                            dtype=self.dtype, lane_pad=lane_pad)(x, train)
+                            dtype=self.dtype, lane_pad=lane_pad)(xn,
+                                                                 train)
         out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
                       kernel_init=nn.initializers.he_normal())(out)
         return out
@@ -254,32 +310,43 @@ class VNet(nn.Module):
         # explicit names keep the parameter tree identical whether or not
         # the lifted remat wrapper is applied (checkpoint compatibility)
         stem = "pallas" if self.head_conv == "pallas" else "default"
-        out16 = Input(self.in_channels, self.elu, self.dtype, 16, stem,
-                      name="InputTransition_0")(x, train)
         mc = self.mid_conv
+        klb = boundary_layouts(x.shape, ks, ss,
+                               stem == "pallas" and mc == "pallas")
+        out16 = Input(self.in_channels, self.elu, self.dtype, 16, stem,
+                      out_kl=klb[0],
+                      name="InputTransition_0")(x, train)
         out32 = Down(16, 1, self.elu, False, ss[0], ks[0], self.dtype,
-                     mc, name="DownTransition_0")(out16, train)
+                     mc, in_kl=klb[0], out_kl=klb[1],
+                     name="DownTransition_0")(out16, train)
         out64 = Down(32, 2, self.elu, False, ss[1], ks[1], self.dtype,
-                     mc, name="DownTransition_1")(out32, train)
+                     mc, in_kl=klb[1], out_kl=klb[2],
+                     name="DownTransition_1")(out32, train)
         do = self.dropout
         out128 = Down(64, 3, self.elu, do, ss[2], ks[2], self.dtype,
-                      mc, name="DownTransition_2")(out64, train)
+                      mc, in_kl=klb[2], out_kl=klb[3],
+                      name="DownTransition_2")(out64, train)
         out256 = Down(128, 2, self.elu, do, ss[3], ks[3], self.dtype,
-                      mc, name="DownTransition_3")(out128, train)
+                      mc, in_kl=klb[3], out_kl=klb[4],
+                      name="DownTransition_3")(out128, train)
         out = Up(256, 256, 2, self.elu, do, do, ss[3], ks[3],
-                 self.dtype, mc,
+                 self.dtype, mc, in_kl=klb[4], skip_kl=klb[3],
+                 out_kl=klb[3],
                  name="UpTransition_0")(out256, out128, train)
         out = Up(256, 128, 2, self.elu, do, do, ss[2], ks[2],
-                 self.dtype, mc,
+                 self.dtype, mc, in_kl=klb[3], skip_kl=klb[2],
+                 out_kl=klb[2],
                  name="UpTransition_1")(out, out64, train)
         out = Up(128, 64, 1, self.elu, False, False, ss[1], ks[1],
-                 self.dtype, mc,
+                 self.dtype, mc, in_kl=klb[2], skip_kl=klb[1],
+                 out_kl=klb[1],
                  name="UpTransition_2")(out, out32, train)
         out = Up(64, 32, 1, self.elu, False, False, ss[0], ks[0],
-                 self.dtype, mc,
+                 self.dtype, mc, in_kl=klb[1], skip_kl=klb[0],
+                 out_kl=klb[0],
                  name="UpTransition_3")(out, out16, train)
         out = Output(self.num_classes, self.elu, self.dtype,
-                     self.head_conv,
+                     self.head_conv, in_kl=klb[0],
                      name="OutputTransition_0")(out, train)
         return [out.astype(jnp.float32)]
 

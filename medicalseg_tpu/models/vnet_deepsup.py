@@ -19,7 +19,7 @@ from flax import linen as nn
 from ..cvlibs import manager
 from .layers import ConvBNAct
 from .vnet import (DownTransition, InputTransition, OutputTransition,
-                   UpTransition)
+                   UpTransition, boundary_layouts)
 
 
 def _upsample_trilinear(x, size_dhw):
@@ -67,7 +67,17 @@ class VNetDeepSup(nn.Module):
             Input, Down, Up, Output = (InputTransition, DownTransition,
                                        UpTransition, OutputTransition)
 
-        def head(h, name):
+        from ..ops import pallas_conv5 as pc
+        klb = boundary_layouts(x.shape, ks, ss,
+                               stem == "pallas" and mc == "pallas")
+
+        def head(h, kl, name):
+            # aux 3^3 conv head; runs in the compute dtype — the
+            # upsampled full-resolution aux logits in f32 cost ~1 GB
+            # each at the spine geometry (bf16 halves it), and the
+            # loss upcasts per-class sums to f32 anyway.
+            if kl:
+                h = pc.from_kl(h)
             return nn.Conv(self.num_classes, (3, 3, 3), padding="SAME",
                            dtype=self.dtype,
                            kernel_init=nn.initializers.he_normal(),
@@ -76,37 +86,45 @@ class VNetDeepSup(nn.Module):
         # explicit names keep the parameter tree identical with or
         # without the lifted remat wrapper (checkpoint compatibility)
         out16 = Input(self.in_channels, self.elu, self.dtype, 16, stem,
+                      out_kl=klb[0],
                       name="InputTransition_0")(x, train)
         out32 = Down(16, 1, self.elu, False, ss[0], ks[0],
-                     self.dtype, mc, name="DownTransition_0")(out16, train)
+                     self.dtype, mc, in_kl=klb[0], out_kl=klb[1],
+                     name="DownTransition_0")(out16, train)
         out64 = Down(32, 2, self.elu, False, ss[1], ks[1],
-                     self.dtype, mc, name="DownTransition_1")(out32, train)
+                     self.dtype, mc, in_kl=klb[1], out_kl=klb[2],
+                     name="DownTransition_1")(out32, train)
         out128 = Down(64, 3, self.elu, True, ss[2], ks[2],
-                      self.dtype, mc, name="DownTransition_2")(out64,
-                                                               train)
+                      self.dtype, mc, in_kl=klb[2], out_kl=klb[3],
+                      name="DownTransition_2")(out64, train)
         out256 = Down(128, 2, self.elu, True, ss[3], ks[3],
-                      self.dtype, mc, name="DownTransition_3")(out128,
-                                                               train)
+                      self.dtype, mc, in_kl=klb[3], out_kl=klb[4],
+                      name="DownTransition_3")(out128, train)
 
         out = Up(256, 256, 2, self.elu, True, True, ss[3], ks[3],
-                 self.dtype, mc, name="UpTransition_0")(out256, out128,
-                                                        train)
-        d1 = _upsample_trilinear(
-            head(out, "Conv_0").astype(jnp.float32), size)
+                 self.dtype, mc, in_kl=klb[4], skip_kl=klb[3],
+                 out_kl=klb[3],
+                 name="UpTransition_0")(out256, out128, train)
+        d1 = _upsample_trilinear(head(out, klb[3], "Conv_0"), size)
         out = Up(256, 128, 2, self.elu, True, True, ss[2], ks[2],
-                 self.dtype, mc, name="UpTransition_1")(out, out64, train)
-        d2 = _upsample_trilinear(
-            head(out, "Conv_1").astype(jnp.float32), size)
+                 self.dtype, mc, in_kl=klb[3], skip_kl=klb[2],
+                 out_kl=klb[2],
+                 name="UpTransition_1")(out, out64, train)
+        d2 = _upsample_trilinear(head(out, klb[2], "Conv_1"), size)
         out = Up(128, 64, 1, self.elu, False, False, ss[1], ks[1],
-                 self.dtype, mc, name="UpTransition_2")(out, out32, train)
-        d3 = _upsample_trilinear(
-            head(out, "Conv_2").astype(jnp.float32), size)
+                 self.dtype, mc, in_kl=klb[2], skip_kl=klb[1],
+                 out_kl=klb[1],
+                 name="UpTransition_2")(out, out32, train)
+        d3 = _upsample_trilinear(head(out, klb[1], "Conv_2"), size)
         out = Up(64, 32, 1, self.elu, False, False, ss[0], ks[0],
-                 self.dtype, mc, name="UpTransition_3")(out, out16, train)
+                 self.dtype, mc, in_kl=klb[1], skip_kl=klb[0],
+                 out_kl=klb[0],
+                 name="UpTransition_3")(out, out16, train)
         out = Output(self.num_classes, self.elu, self.dtype,
-                     self.head_conv,
+                     self.head_conv, in_kl=klb[0],
                      name="OutputTransition_0")(out, train)
-        return [out.astype(jnp.float32), d1, d2, d3]
+        return [out.astype(jnp.float32), d1.astype(jnp.float32),
+                d2.astype(jnp.float32), d3.astype(jnp.float32)]
 
     def test(self):
         """Self-test (reference vnet_deepsup.py:283-296)."""

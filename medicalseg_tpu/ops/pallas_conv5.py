@@ -460,35 +460,39 @@ def _expand_g_head(gk, co, mg, dt):
     by (+kh rows, +(kw-2) cols) on the (H+4)-padded flat grid, zeros
     outside — the kw SAME mask is realized by the zero padding.
 
-    co is kept OFF the minor axis throughout: a 6D intermediate with a
-    tiny channels-minor dim gets lane-padded to 128 by XLA's tiled
-    layout (42x HBM for co=3 — measured as a 27.7 GB allocation in the
-    b2 train step)."""
+    Built as a concat of 4-D [N, D, co, flat] pieces: every
+    intermediate keeps the (wide) W/flat extent minor. A 6-D stack with
+    co at an interior axis looks equivalent but XLA's layout assignment
+    can put the tiny co dim on lanes — measured as a 10.7x-padded
+    15.1 GB allocation at the spine geometry (and 42x for co=3)."""
     n, d, _, h, w = gk.shape
     gp = jnp.pad(gk, ((0, 0), (0, 0), (0, 0), (0, 0), (P, P)))
-    chans = []
+    flat = (h + 2 * P) * w
+    pieces = []
     for kh in range(K):
         for kw in range(K):
             c = gp[:, :, :, :, 2 * P - kw:2 * P - kw + w]
             c = jnp.pad(c, ((0, 0), (0, 0), (0, 0), (kh, 2 * P - kh),
                             (0, 0)))
-            chans.append(c)  # [N, D, co, H+4, W]
-    ge = jnp.stack(chans, axis=2)  # [N, D, 25, co, H+4, W]
-    ge = ge.reshape(n, d, K * K * co, (h + 2 * P) * w)
-    ge = jnp.pad(ge, ((0, 0), (0, 0), (0, mg - K * K * co), (0, 0)))
-    return _pad_flat(ge).astype(dt)
+            pieces.append(c.reshape(n, d, co, flat))
+    if mg > K * K * co:
+        pieces.append(jnp.zeros((n, d, mg - K * K * co, flat),
+                                gk.dtype))
+    return _pad_flat(jnp.concatenate(pieces, axis=2)).astype(dt)
 
 
 def _expand_g_stem(gk, co, mg, dt):
     """ge rows (kh, co): kw lives in the x channels for the stem.
-    gk is kernel layout [N, D, co, H, W]."""
+    gk is kernel layout [N, D, co, H, W]. Same 4-D-pieces structure as
+    :func:`_expand_g_head` (layout-trap avoidance)."""
     n, d, _, h, w = gk.shape
-    chans = [jnp.pad(gk, ((0, 0), (0, 0), (0, 0), (kh, 2 * P - kh),
-                          (0, 0))) for kh in range(K)]
-    ge = jnp.stack(chans, axis=2)  # [N, D, 5, co, H+4, W]
-    ge = ge.reshape(n, d, K * co, (h + 2 * P) * w)
-    ge = jnp.pad(ge, ((0, 0), (0, 0), (0, mg - K * co), (0, 0)))
-    return _pad_flat(ge).astype(dt)
+    flat = (h + 2 * P) * w
+    pieces = [jnp.pad(gk, ((0, 0), (0, 0), (0, 0), (kh, 2 * P - kh),
+                           (0, 0))).reshape(n, d, co, flat)
+              for kh in range(K)]
+    if mg > K * co:
+        pieces.append(jnp.zeros((n, d, mg - K * co, flat), gk.dtype))
+    return _pad_flat(jnp.concatenate(pieces, axis=2)).astype(dt)
 
 
 def _wgrad_mid_kernel(xt_ref, ge_ref, out_ref, slab, gbuf, sems,
@@ -545,15 +549,17 @@ def _wgrad_mid_kernel(xt_ref, ge_ref, out_ref, slab, gbuf, sems,
 def _expand_g_kw(gk, co, ws, dt):
     """[N, D, (kw, co), H*ws]: g (kernel layout [N, D, co, H, W])
     shifted by (kw-2) along W, zeros at the W edges (the SAME mask),
-    channels kept off the minor axis, each image row padded to the ws
-    lane stride."""
+    each image row padded to the ws lane stride. Built as a concat of
+    4-D [N, D, co, H*ws] pieces — see :func:`_expand_g_head` for the
+    6-D-stack layout trap this avoids."""
     n, d, _, h, w = gk.shape
     gp = jnp.pad(gk, ((0, 0), (0, 0), (0, 0), (0, 0), (P, P)))
-    chans = [gp[:, :, :, :, 2 * P - kw:2 * P - kw + w]
-             for kw in range(K)]
-    ge = jnp.stack(chans, axis=2)  # [N, D, 5, co, H, W]
-    ge = jnp.pad(ge, ((0, 0),) * 5 + ((0, ws - w),))
-    return ge.reshape(n, d, K * co, h * ws).astype(dt)
+    pieces = []
+    for kw in range(K):
+        c = gp[:, :, :, :, 2 * P - kw:2 * P - kw + w]
+        c = jnp.pad(c, ((0, 0),) * 4 + ((0, ws - w),))
+        pieces.append(c.reshape(n, d, co, h * ws))
+    return jnp.concatenate(pieces, axis=2).astype(dt)
 
 
 def _wgrad_mid_ok(x_shape, ci, co, dtype):
@@ -1012,12 +1018,106 @@ def _conv5_kl_bwd(kind, interpret, res, gk):
         dw = _cp_wgrad_kl("mid", kind, interpret)(xk, gk).astype(w.dtype)
     else:
         dw = jax.vjp(lambda w_: _conv5_xla_kl(xk, w_, b), w)[1](gk)[0]
-    db = jnp.sum(gk.astype(jnp.float32), axis=(0, 1, 3, 4)).astype(
-        b.dtype)
+    # reduce the minor (H, W) dims first: a single reduce keeping only
+    # the C axis makes XLA relayout the whole cotangent C-minor (tiny-C
+    # lane padding — 3 GB for the spine stem), while a lanes/sublanes
+    # partial reduce keeps gk's native layout.
+    db = jnp.sum(jnp.sum(gk.astype(jnp.float32), axis=(3, 4)),
+                 axis=(0, 1)).astype(b.dtype)
     return (dx, dw, db)
 
 
 conv5_kl.defvjp(_conv5_kl_fwd, _conv5_kl_bwd)
+
+
+# ----------------------------------------------------------------------
+# layout pin: force physical row-major materialization of a
+# kernel-layout tensor
+# ----------------------------------------------------------------------
+def _pin_kernel(x_ref, o_ref):
+    o_ref[...] = x_ref[...]
+
+
+def _pin_call(xk, interpret=False):
+    n, d, c, h, w = xk.shape
+    hb = h
+    while hb > 1 and h % hb == 0 and (
+            hb * w * jnp.dtype(xk.dtype).itemsize > 4 * 1024 * 1024):
+        hb //= 2
+    if h % hb:
+        hb = 1
+    return pl.pallas_call(
+        _pin_kernel,
+        grid=(n, d, c, h // hb),
+        in_specs=[pl.BlockSpec((1, 1, 1, hb, w),
+                               lambda i, j, k, l: (i, j, k, l, 0))],
+        out_specs=pl.BlockSpec((1, 1, 1, hb, w),
+                               lambda i, j, k, l: (i, j, k, l, 0)),
+        out_shape=jax.ShapeDtypeStruct(xk.shape, xk.dtype),
+        interpret=interpret,
+    )(xk)
+
+
+@functools.lru_cache(maxsize=None)
+def _cp_pin(interpret):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def call(xk):
+        return _pin_call(xk, interpret=interpret)
+
+    fn = custom_partitioning(call)
+
+    def _sh(mesh, arg_infos):
+        s = getattr(arg_infos[0], "sharding", None)
+        if isinstance(s, NamedSharding):
+            return s
+        return NamedSharding(mesh, PartitionSpec())
+
+    def infer(mesh, arg_infos, result_infos):
+        return _sh(mesh, arg_infos)
+
+    def part(mesh, arg_infos, result_infos):
+        s = _sh(mesh, arg_infos)
+        return mesh, call, s, (s,)
+
+    fn.def_partition(infer_sharding_from_operands=infer, partition=part,
+                     sharding_rule="n d c h w -> n d c h w")
+    return fn
+
+
+@jax.custom_vjp
+def _pin(xk):
+    return _cp_pin(jax.default_backend() != "tpu")(xk)
+
+
+def _pin_fwd(xk):
+    return _pin(xk), None
+
+
+def _pin_bwd(_, g):
+    # pin the cotangent too: it feeds the wgrad g-expansions, which
+    # also materialize at volume scale
+    return (_pin(g),)
+
+
+_pin.defvjp(_pin_fwd, _pin_bwd)
+
+
+def pin_kl(xk):
+    """Identity that forces a kernel-layout tensor to materialize in
+    the Pallas kernels' row-major layout (W on lanes, H on sublanes).
+
+    Without it, XLA's layout assignment can "solve" the NDHWC<->KL
+    transposes by keeping tensors physically channels-minor, whose
+    tiled form lane-pads a narrow C up to 10.7x — measured as multiple
+    3-15 GB HLO-temp allocations (remat pivots, conv prep pads) at the
+    512x512x12 spine geometry. The Mosaic custom call's operand/result
+    layout constraints are the one reliable lever over interior
+    layouts. No-op off TPU."""
+    if jax.default_backend() != "tpu":
+        return xk
+    return _pin(xk)
 
 
 # ----------------------------------------------------------------------

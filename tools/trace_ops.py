@@ -14,7 +14,23 @@ import re
 import sys
 
 
-def categorize(name):
+def categorize(name, hlo_category=""):
+    # Prefer the profiler's hlo_category: flax scoping names Pallas
+    # custom calls after their module ("Conv_0.N"), which a name-only
+    # match misfiles as XLA convolutions.
+    h = (hlo_category or "").lower()
+    if h:
+        if "custom" in h:
+            return "pallas custom call"
+        if "convolution" in h:
+            return "xla convolution"
+        if "all-reduce" in h or "all-gather" in h or "collective" in h:
+            return "collective"
+        if h in ("copy", "bitcast", "reshape", "transpose"):
+            return "copy/layout"
+        if "fusion" in h and ("input" in h or "loop" in h or
+                              "output" in h or h == "fusion"):
+            return "fusion (elementwise/reduce)"
     n = name.lower()
     if "custom-call" in n or "tpu_custom_call" in n:
         return "pallas custom call"
@@ -60,7 +76,8 @@ def main():
             name = e.get("name", "?")
             totals[name] = totals.get(name, 0) + e["dur"]
             counts[name] = counts.get(name, 0) + 1
-            c = categorize(name)
+            c = categorize(name, e.get("args", {}).get(
+                "hlo_category", ""))
             cats[c] = cats.get(c, 0) + e["dur"]
             total += e["dur"]
     print("device XLA-Ops busy total: {:.1f} ms = {:.1f} ms/step".format(
