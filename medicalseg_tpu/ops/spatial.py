@@ -76,6 +76,92 @@ def _rotation_coords(shape, r_plane, angle_deg):
     return full
 
 
+def _shear_pass(arr, coef, ax, bx, order, cb):
+    """1-D resample along ``ax`` at src = x + coef * (idx_bx - cb).
+
+    The two-tap interpolation is expressed as a banded-matrix batched
+    matmul (built from iota comparisons — no gather): TPU runs it on
+    the MXU, where the equivalent ``map_coordinates`` per-voxel gather
+    costs ~150 ms per tap at 512^2x12 (measured: the rotation gathers
+    were 6.9 s of an 8.2 s spine train step)."""
+    v = jnp.moveaxis(arr, (bx, ax), (-2, -1))
+    lead = v.shape[:-2]
+    B, A = v.shape[-2], v.shape[-1]
+    v2 = v.reshape((-1, B, A))
+    xo = jnp.arange(A, dtype=jnp.float32)
+    # chunk the [B, A, A] band tensor to ~64 MB
+    chunk = max(1, min(B, (1 << 24) // max(1, A * A)))
+    while B % chunk:
+        chunk -= 1
+    outs = []
+    for b0 in range(0, B, chunk):
+        bs = jnp.arange(b0, b0 + chunk, dtype=jnp.float32)
+        src = xo[None, :] + coef * (bs[:, None] - cb)     # [CB, X]
+        diff = src[:, :, None] - xo[None, None, :]        # [CB, X, A]
+        if order == 0:
+            m = ((diff > -0.5) & (diff <= 0.5)).astype(jnp.float32)
+        else:
+            m = jnp.maximum(0.0, 1.0 - jnp.abs(diff))
+        outs.append(jnp.einsum("rba,bxa->rbx", v2[:, b0:b0 + chunk], m))
+    out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+    out = out.reshape(lead + (B, A))
+    return jnp.moveaxis(out, (-2, -1), (bx, ax))
+
+
+@functools.partial(jax.jit, static_argnames=("r_plane", "order", "cval"))
+def rotate3d_shear(vol, angle, r_plane=(0, 1), order=1, cval=0.0):
+    """Gather-free planar rotation: three shear passes on the MXU.
+
+    The scipy rotation matrix [[c, s], [-s, c]] factors into
+    Sx(tan(t/2)) . Sy(-sin t) . Sx(tan(t/2)) (valid for |angle| < 90;
+    use for augmentation ranges <= 45 deg), each a 1-D banded-matmul
+    resample (:func:`_shear_pass`). Boundary semantics match scipy's
+    strict ``mode='constant'`` exactly (same `_rotation_coords` valid
+    mask); interior values differ from direct bilinear only by the
+    extra 1-D interpolation smoothing of the shear decomposition —
+    fine for augmentation, ~200x faster than the gather path on TPU.
+    ``angle`` may be traced.
+
+    Supports 3-D volumes and 4-D (trailing channel) arrays.
+    """
+    r_plane = tuple(int(x) for x in r_plane)
+    a, b = sorted(r_plane)
+    rad = jnp.deg2rad(angle)
+    al = jnp.tan(rad / 2.0)
+    be = -jnp.sin(rad)
+    # the intermediate shear canvases extend past the original frame
+    # (content that leaves during pass 1 re-enters by pass 3): run the
+    # passes on a padded canvas and crop back. pad >= (sqrt(2)-1)/2 of
+    # the plane diagonal covers any |angle| <= 45.
+    sa, sb = vol.shape[a], vol.shape[b]
+    pad = int(0.21 * (sa + sb) / 2) + 2
+    widths = [(0, 0)] * vol.ndim
+    widths[a] = (pad, pad)
+    widths[b] = (pad, pad)
+    ca = (sa - 1) / 2.0 + pad
+    cb = (sb - 1) / 2.0 + pad
+    out = jnp.pad(vol.astype(jnp.float32), widths)
+    out = _shear_pass(out, al, a, b, order, cb)
+    out = _shear_pass(out, be, b, a, order, ca)
+    out = _shear_pass(out, al, a, b, order, cb)
+    sl = [slice(None)] * vol.ndim
+    sl[a] = slice(pad, pad + sa)
+    sl[b] = slice(pad, pad + sb)
+    out = out[tuple(sl)]
+
+    sshape = vol.shape[:3]
+    coords = _rotation_coords(sshape, (a, b), angle)
+    eps = max(1e-4, 1e-6 * max(sshape[a], sshape[b]))
+    valid = ((coords[a] >= -eps) & (coords[a] <= sshape[a] - 1 + eps) &
+             (coords[b] >= -eps) & (coords[b] <= sshape[b] - 1 + eps))
+    if vol.ndim == 4:
+        valid = valid[..., None]
+    out = jnp.where(valid, out, cval)
+    if jnp.issubdtype(vol.dtype, jnp.integer):
+        out = jnp.rint(out)
+    return out.astype(vol.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("r_plane", "order", "cval"))
 def rotate3d(vol, angle, r_plane=(0, 1), order=1, cval=0.0):
     """Rotate ``vol`` by ``angle`` degrees in plane ``r_plane``.

@@ -22,6 +22,39 @@ def test_rotate3d_matches_scipy(r_plane, angle):
     np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
+@pytest.mark.parametrize("r_plane", [(0, 1), (1, 2)])
+@pytest.mark.parametrize("angle", [-29.5, 17.0, 44.0])
+def test_rotate3d_shear_close_to_scipy(r_plane, angle):
+    """The 3-shear MXU rotation (augmentation fast path) tracks scipy
+    bilinear closely in the interior; only a few-pixel band at the
+    valid-mask border may blend with the pass-intermediate zero fill."""
+    from medicalseg_tpu.ops import rotate3d_shear
+    rng = np.random.RandomState(0)
+    img = scipy.ndimage.gaussian_filter(
+        rng.rand(8, 40, 40).astype(np.float32), (0, 2, 2))
+    ours = np.asarray(rotate3d_shear(jnp.asarray(img), angle,
+                                     r_plane=r_plane, order=1))
+    ref = scipy.ndimage.rotate(img, angle=angle, axes=r_plane, order=1,
+                               reshape=False, cval=0.0)
+    assert np.abs(ours - ref).mean() < 1.2e-2
+    # strict cval mask agrees away from the 1-px coordinate-noise band
+    interior = scipy.ndimage.binary_erosion(ref != 0.0, np.ones((1, 3, 3)))
+    assert np.abs((ours - ref)[interior]).max() < 0.3
+    # zero rotation is exact
+    same = np.asarray(rotate3d_shear(jnp.asarray(img), 0.0,
+                                     r_plane=r_plane, order=1))
+    np.testing.assert_allclose(same, img, atol=1e-5)
+
+
+def test_rotate3d_shear_labels_stay_valid():
+    from medicalseg_tpu.ops import rotate3d_shear
+    rng = np.random.RandomState(1)
+    lab = rng.randint(0, 20, (8, 32, 32)).astype(np.int32)
+    out = np.asarray(rotate3d_shear(jnp.asarray(lab), 25.0,
+                                    r_plane=(1, 2), order=1))
+    assert out.min() >= 0 and out.max() < 20
+
+
 def test_rotate3d_nearest_labels():
     rng = np.random.RandomState(1)
     lab = rng.randint(0, 4, (10, 10, 10)).astype(np.int32)
