@@ -246,9 +246,16 @@ def bench_pipeline_disk(n_volumes=20, raw_shape=(200, 512, 512),
 
 def bench_pipeline_batched(batch=4, n_volumes=20,
                            raw_shape=(200, 512, 512), iters=3):
-    """Device-resident serving with `batch` volumes per dispatch:
-    amortizes the per-call dispatch overhead (~80 ms through the axon
-    tunnel) and keeps the MXU fed with batched convs."""
+    """Device-resident serving with `batch` volumes per forward.
+
+    Prep runs as `batch` separate b1 dispatches (async-enqueued
+    back-to-back; dispatch overhead is ~2-8 ms, measured in the round-3
+    dispatch probe) feeding one batched forward. Both round-2 attempts
+    at a fused program regressed: vmapped prep materialized `batch`
+    windowed full-volume intermediates at once, and a lax.scan prep
+    (round 3) kept an 800 MB stacked operand resident and still ran
+    9.5 < 13.3 vps. Separate prep dispatches keep peak memory at one
+    raw volume and overlap with the previous forward."""
     import jax
     import jax.numpy as jnp
 
@@ -266,32 +273,27 @@ def bench_pipeline_batched(batch=4, n_volumes=20,
     variables = state.variables
 
     @jax.jit
-    def pipeline(variables, raws):
-        def prep(_, raw):
-            vol = ops.hu_norm_resize(raw, (128, 128, 128))
-            return None, vol / jnp.maximum(jnp.max(vol), 1e-6)
+    def prep(raw):
+        vol = ops.hu_norm_resize(raw, (128, 128, 128))
+        return vol / jnp.maximum(jnp.max(vol), 1e-6)
 
-        # sequential per-volume prep (lax.scan) instead of vmap: the
-        # vmapped variant materialized `batch` windowed full-volume
-        # intermediates at once and thrashed HBM (round-2 regression:
-        # batched 13.5 < unbatched 16.8 vps); scanning keeps prep peak
-        # memory at one volume while the forward still batches the MXU.
-        _, vols = jax.lax.scan(prep, None, raws)
-        logits = model.apply(variables, vols[..., None],
-                             train=False)[0]
+    @jax.jit
+    def forward(variables, *vols):
+        x = jnp.stack(vols)[..., None]
+        logits = model.apply(variables, x, train=False)[0]
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     rng = np.random.RandomState(0)
-    raws = jnp.asarray(rng.uniform(-1200, 600, (batch,) + raw_shape)
-                       .astype(np.float32))
-    _sync(pipeline(variables, raws))
+    raws = [jnp.asarray(rng.uniform(-1200, 600, raw_shape)
+                        .astype(np.float32)) for _ in range(batch)]
+    _sync(forward(variables, *[prep(r) for r in raws]))
 
     n_calls = max(1, n_volumes // batch)
     best = 0.0
     for _ in range(iters):
         t0 = time.time()
         for _ in range(n_calls):
-            out = pipeline(variables, raws)
+            out = forward(variables, *[prep(r) for r in raws])
         _sync(out)
         best = max(best, n_calls * batch / (time.time() - t0))
     return best

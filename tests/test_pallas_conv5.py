@@ -269,3 +269,25 @@ def test_vnet_pallas_space_sharded_matches_default():
         v, xs)
     np.testing.assert_allclose(np.asarray(o_pal), np.asarray(o_def),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_pin_kl_identity_vjp_and_sharding():
+    """pin_kl (the KL boundary layout pin) must be a bit-exact identity
+    with an identity VJP, and preserve the operand sharding under a
+    mesh (its custom_partitioning forwards the input spec)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 2, 16, 8, 128),
+                    jnp.float32)
+    y, vjp = jax.vjp(pc._pin, x)
+    assert jnp.array_equal(y, x)
+    assert jnp.array_equal(vjp(2 * x)[0], 2 * x)
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("data", "space"))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None,
+                                                 "space")))
+    with mesh:
+        ys = jax.jit(pc._pin)(xs)
+    assert jnp.array_equal(np.asarray(ys), np.asarray(x))
+    assert ys.sharding.spec == P("data", None, None, "space")
