@@ -113,6 +113,8 @@ class DownTransition(nn.Module):
     conv_impl: str = "default"
     in_kl: bool = False   # x arrives in the Pallas kernel layout
     out_kl: bool = False  # return the kernel layout
+    updown_impl: str = "default"  # 's2d': window==stride conv as one
+    # space-to-depth MXU matmul (ops/updown.py); param-tree identical
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -120,10 +122,16 @@ class DownTransition(nn.Module):
         if self.in_kl:
             x = pc.from_kl(x)
         out_channels = 2 * self.in_channels
-        down = nn.Conv(out_channels, tuple(self.down_kernel),
-                       strides=tuple(self.down_stride), padding="VALID",
-                       dtype=self.dtype,
-                       kernel_init=nn.initializers.he_normal())(x)
+        if (self.updown_impl == "s2d" and
+                tuple(self.down_kernel) == tuple(self.down_stride)):
+            from ..ops.updown import S2DConv
+            down = S2DConv(out_channels, tuple(self.down_kernel),
+                           dtype=self.dtype, name="Conv_0")(x)
+        else:
+            down = nn.Conv(out_channels, tuple(self.down_kernel),
+                           strides=tuple(self.down_stride),
+                           padding="VALID", dtype=self.dtype,
+                           kernel_init=nn.initializers.he_normal())(x)
         down = BatchNorm3D(dtype=self.dtype)(down, train)
         down = Activation(elu=self.elu, dtype=self.dtype)(down)
         out = down
@@ -167,6 +175,8 @@ class UpTransition(nn.Module):
     in_kl: bool = False    # x arrives in the kernel layout
     skip_kl: bool = False  # skipx arrives in the kernel layout
     out_kl: bool = False   # return the kernel layout
+    updown_impl: str = "default"  # 's2d': window==stride transposed
+    # conv as one MXU matmul + depth-to-space (ops/updown.py)
 
     @nn.compact
     def __call__(self, x, skipx, train: bool = True):
@@ -181,11 +191,19 @@ class UpTransition(nn.Module):
                 skip, deterministic=not train)
         # VALID conv_transpose: out = (in-1)*stride + kernel, matching
         # paddle Conv3DTranspose shape math (SURVEY §7 hard parts).
-        out = nn.ConvTranspose(self.out_channels // 2,
-                               tuple(self.up_kernel),
-                               strides=tuple(self.up_stride),
-                               padding="VALID", dtype=self.dtype,
-                               kernel_init=nn.initializers.he_normal())(out)
+        if (self.updown_impl == "s2d" and
+                tuple(self.up_kernel) == tuple(self.up_stride)):
+            from ..ops.updown import D2SConvTranspose
+            out = D2SConvTranspose(self.out_channels // 2,
+                                   tuple(self.up_kernel),
+                                   dtype=self.dtype,
+                                   name="ConvTranspose_0")(out)
+        else:
+            out = nn.ConvTranspose(
+                self.out_channels // 2, tuple(self.up_kernel),
+                strides=tuple(self.up_stride),
+                padding="VALID", dtype=self.dtype,
+                kernel_init=nn.initializers.he_normal())(out)
         out = BatchNorm3D(dtype=self.dtype)(out, train)
         out = Activation(elu=self.elu, dtype=self.dtype)(out)
         cat_shape = out.shape[:4] + (self.out_channels,)
@@ -288,6 +306,9 @@ class VNet(nn.Module):
     mid_conv: str = "default"  # 'default' | 'pallas' — conv impl of the
     # residual NConv stacks (Pallas MXU kernels where the traced shape
     # is eligible, XLA otherwise; see layers.NConvs)
+    updown_conv: str = "default"  # 'default' | 's2d' — stages whose
+    # window == stride run the down/up-sampling convs as single MXU
+    # matmuls (space-to-depth, ops/updown.py); others keep the XLA conv
     dropout: bool = True  # False disables the mid-stage ChannelDropouts
     # (the reference's torch-alignment harness runs with dropout off,
     # reference vnet.py:285-404)
@@ -317,33 +338,33 @@ class VNet(nn.Module):
                       out_kl=klb[0],
                       name="InputTransition_0")(x, train)
         out32 = Down(16, 1, self.elu, False, ss[0], ks[0], self.dtype,
-                     mc, in_kl=klb[0], out_kl=klb[1],
+                     mc, in_kl=klb[0], out_kl=klb[1], updown_impl=self.updown_conv,
                      name="DownTransition_0")(out16, train)
         out64 = Down(32, 2, self.elu, False, ss[1], ks[1], self.dtype,
-                     mc, in_kl=klb[1], out_kl=klb[2],
+                     mc, in_kl=klb[1], out_kl=klb[2], updown_impl=self.updown_conv,
                      name="DownTransition_1")(out32, train)
         do = self.dropout
         out128 = Down(64, 3, self.elu, do, ss[2], ks[2], self.dtype,
-                      mc, in_kl=klb[2], out_kl=klb[3],
+                      mc, in_kl=klb[2], out_kl=klb[3], updown_impl=self.updown_conv,
                       name="DownTransition_2")(out64, train)
         out256 = Down(128, 2, self.elu, do, ss[3], ks[3], self.dtype,
-                      mc, in_kl=klb[3], out_kl=klb[4],
+                      mc, in_kl=klb[3], out_kl=klb[4], updown_impl=self.updown_conv,
                       name="DownTransition_3")(out128, train)
         out = Up(256, 256, 2, self.elu, do, do, ss[3], ks[3],
                  self.dtype, mc, in_kl=klb[4], skip_kl=klb[3],
-                 out_kl=klb[3],
+                 out_kl=klb[3], updown_impl=self.updown_conv,
                  name="UpTransition_0")(out256, out128, train)
         out = Up(256, 128, 2, self.elu, do, do, ss[2], ks[2],
                  self.dtype, mc, in_kl=klb[3], skip_kl=klb[2],
-                 out_kl=klb[2],
+                 out_kl=klb[2], updown_impl=self.updown_conv,
                  name="UpTransition_1")(out, out64, train)
         out = Up(128, 64, 1, self.elu, False, False, ss[1], ks[1],
                  self.dtype, mc, in_kl=klb[2], skip_kl=klb[1],
-                 out_kl=klb[1],
+                 out_kl=klb[1], updown_impl=self.updown_conv,
                  name="UpTransition_2")(out, out32, train)
         out = Up(64, 32, 1, self.elu, False, False, ss[0], ks[0],
                  self.dtype, mc, in_kl=klb[1], skip_kl=klb[0],
-                 out_kl=klb[0],
+                 out_kl=klb[0], updown_impl=self.updown_conv,
                  name="UpTransition_3")(out, out16, train)
         out = Output(self.num_classes, self.elu, self.dtype,
                      self.head_conv, in_kl=klb[0],

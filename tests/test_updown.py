@@ -1,0 +1,118 @@
+"""Space-to-depth up/down-sampling convs (ops/updown.py).
+
+The V-Net transitions' window==stride VALID convs (reference
+medicalseg/models/vnet.py:82-113, 116-156) reformulated as single MXU
+matmuls must match the stock XLA convs exactly: same params, same
+outputs, same gradients.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from medicalseg_tpu.models import VNet
+from medicalseg_tpu.ops.updown import conv_s2d, conv_transpose_d2s
+
+KERNELS = [(2, 2, 2), (2, 2, 1), (1, 2, 2), (3, 2, 2)]
+
+
+@pytest.mark.parametrize("k", KERNELS)
+def test_conv_s2d_matches_xla(k):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 8, 12, 16).astype(np.float32))
+    K = jnp.asarray(rng.randn(*k, 16, 32).astype(np.float32))
+    b = jnp.asarray(rng.randn(32).astype(np.float32))
+    ref = lax.conv_general_dilated(
+        x, K, k, "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+    np.testing.assert_allclose(np.asarray(conv_s2d(x, K, b)),
+                               np.asarray(ref), atol=1e-4, rtol=1e-5)
+
+
+@pytest.mark.parametrize("k", KERNELS)
+def test_conv_transpose_d2s_matches_xla(k):
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 4, 4, 6, 32).astype(np.float32))
+    K = jnp.asarray(rng.randn(*k, 32, 16).astype(np.float32))
+    b = jnp.asarray(rng.randn(16).astype(np.float32))
+    ref = lax.conv_transpose(
+        x, K, k, "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+    np.testing.assert_allclose(np.asarray(conv_transpose_d2s(x, K, b)),
+                               np.asarray(ref), atol=1e-4, rtol=1e-5)
+
+
+def test_conv_s2d_ragged_valid_tail():
+    """VALID drops the ragged tail; the s2d slice must agree."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 7, 9, 5, 4).astype(np.float32))
+    K = jnp.asarray(rng.randn(2, 2, 2, 4, 8).astype(np.float32))
+    ref = lax.conv_general_dilated(
+        x, K, (2, 2, 2), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = conv_s2d(x, K)
+    assert got.shape == ref.shape == (1, 3, 4, 2, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
+
+
+def test_updown_gradients_match_xla():
+    """VJPs of the matmul form agree with the conv VJPs (dgrad + wgrad)."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 8, 8, 8, 8).astype(np.float32))
+    K = jnp.asarray(rng.randn(2, 2, 2, 8, 16).astype(np.float32))
+
+    def f_ref(x, K):
+        return jnp.sum(jnp.sin(lax.conv_general_dilated(
+            x, K, (2, 2, 2), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))))
+
+    def f_s2d(x, K):
+        return jnp.sum(jnp.sin(conv_s2d(x, K)))
+
+    gx_r, gk_r = jax.grad(f_ref, argnums=(0, 1))(x, K)
+    gx_s, gk_s = jax.grad(f_s2d, argnums=(0, 1))(x, K)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_r),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_s), np.asarray(gk_r),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_vnet_s2d_matches_default():
+    """VNet(updown_conv='s2d') consumes the default param tree unchanged
+    and reproduces the default logits — checkpoints interchange."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(1, 16, 16, 16, 1).astype(np.float32))
+    base = VNet(num_classes=3, dropout=False)
+    s2d = VNet(num_classes=3, dropout=False, updown_conv="s2d")
+    variables = jax.jit(
+        lambda k, a: base.init(k, a, train=False))(jax.random.PRNGKey(0), x)
+    out_b = jax.jit(
+        lambda v, a: base.apply(v, a, train=False))(variables, x)[0]
+    out_s = jax.jit(
+        lambda v, a: s2d.apply(v, a, train=False))(variables, x)[0]
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_b),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_vnet_s2d_anisotropic_falls_back():
+    """Stages whose kernel != stride (the spine geometry) keep the XLA
+    conv under the same param names; mixed eligibility still runs."""
+    ks = [[2, 2, 4], [2, 2, 2], [2, 2, 2], [2, 2, 2]]
+    ss = [[2, 2, 1], [2, 2, 1], [2, 2, 2], [2, 2, 2]]
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(1, 16, 16, 12, 1).astype(np.float32))
+    base = VNet(num_classes=2, dropout=False, kernel_size=ks,
+                stride_size=ss)
+    s2d = VNet(num_classes=2, dropout=False, kernel_size=ks,
+               stride_size=ss, updown_conv="s2d")
+    variables = jax.jit(
+        lambda k, a: base.init(k, a, train=False))(jax.random.PRNGKey(1), x)
+    out_b = jax.jit(
+        lambda v, a: base.apply(v, a, train=False))(variables, x)[0]
+    out_s = jax.jit(
+        lambda v, a: s2d.apply(v, a, train=False))(variables, x)[0]
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_b),
+                               atol=2e-4, rtol=1e-4)
