@@ -10,9 +10,9 @@ with the per-class dice vector logged.
 
 Sharded evaluation (round 2): volumes are distributed two ways, matching
 the reference's DistributedBatchSampler sharding (val.py:65-71) —
-  * across *devices*: with a mesh, ``data``-axis-many volumes are
-    vmapped into one dispatch with the batch axis sharded over the mesh,
-    so in-train eval on an N-chip slice runs ~N volumes at a time;
+  * across *devices*: with a mesh, ``data``-axis-many volumes ride the
+    model's batch axis in one dispatch, sharded over the mesh, so
+    in-train eval on an N-chip slice runs ~N volumes at a time;
   * across *processes*: each host evaluates a contiguous shard of the
     val set (parallel.mesh.process_shard) and the dice/loss sums are
     combined with a cross-process allgather.
@@ -104,35 +104,46 @@ def evaluate(state,
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    def _eval_one(variables, im, label):
-        """Per-volume forward + loss. im [D,H,W,1], label [D,H,W]."""
+    def _eval_group(variables, ims, labels):
+        """[group, ...] stacked volumes, evaluated in one batched call.
+
+        The group rides the model's *native* batch axis instead of
+        ``jax.vmap`` over a per-volume closure: the Pallas conv custom
+        calls have a ``custom_partitioning`` batch-sharding rule but no
+        vmap batching rule, so vmapping the model raises
+        NotImplementedError — and the batch axis is exactly what the
+        mesh's ``data`` axis shards anyway. Only the per-volume loss
+        reduction is vmapped (plain jnp ops).
+        """
+        ori_shape = labels.shape[1:]
         if sw_num:
-            # sliding-window whole-volume inference with overlap blending
-            # (beyond-reference; core/sliding_window.py)
-            from .sliding_window import sliding_window_inference
-            dhw = im.shape[:3]
+            # sliding-window whole-volume inference with overlap
+            # blending (beyond-reference; core/sliding_window.py) —
+            # windows from all volumes of the group stream through one
+            # scan, keeping the MXU batch full.
+            from .sliding_window import sliding_window_inference_batched
+            dhw = ims.shape[1:4]
             roi = tuple(max(1, s // int(sw_num)) for s in dhw)
-            logit = sliding_window_inference(
-                state.apply_fn, variables, im, roi,
-                num_classes=eval_dataset.num_classes)[None]
-            if tuple(label.shape) != logit.shape[1:4]:
+            logit = sliding_window_inference_batched(
+                state.apply_fn, variables, ims, roi,
+                num_classes=eval_dataset.num_classes)
+            if tuple(ori_shape) != logit.shape[1:4]:
                 logit = infer.reverse_transform(
-                    logit, label.shape,
-                    eval_dataset.transforms.transforms)
+                    logit, ori_shape, eval_dataset.transforms.transforms)
             pred = jnp.argmax(logit, axis=-1).astype(jnp.int32)
         else:
             pred, logit = infer.inference(
-                state.apply_fn, variables, im[None],
-                ori_shape=label.shape,
+                state.apply_fn, variables, ims,
+                ori_shape=ori_shape,
                 transforms=eval_dataset.transforms.transforms)
-        loss_list, per_channel_dice = loss_computation(
-            [logit], label[None], new_loss)
-        return pred[0], logit[0], sum(loss_list), per_channel_dice
 
-    def _eval_group(variables, ims, labels):
-        """[group, ...] stacked volumes, each evaluated independently."""
-        return jax.vmap(_eval_one, in_axes=(None, 0, 0))(variables, ims,
-                                                         labels)
+        def _loss_one(logit_j, label_j):
+            loss_list, pcd = loss_computation(
+                [logit_j[None]], label_j[None], new_loss)
+            return sum(loss_list), pcd
+
+        losses_v, pcds = jax.vmap(_loss_one)(logit, labels)
+        return pred, logit, losses_v, pcds
 
     # cache the jitted per-volume program on the dataset so repeated
     # in-training evals don't re-trace (shapes are constant per dataset).

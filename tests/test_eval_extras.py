@@ -112,6 +112,53 @@ def test_evaluate_sliding_window_sharded_matches_serial(val_dataset,
                                rtol=1e-5)
 
 
+def test_evaluate_never_vmaps_model(val_dataset, tmp_path):
+    """Regression: models containing ``custom_partitioning`` ops (the
+    Pallas convs) have no vmap batching rule — evaluating one crashed
+    with NotImplementedError mid-training on TPU. The eval group must
+    ride the model's native batch axis instead of a vmap."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import linen as nn
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from medicalseg_tpu.core import evaluate
+    from medicalseg_tpu.core.state import TrainState
+
+    cp_ident = custom_partitioning(lambda x: x)
+
+    def _infer(mesh, arg_infos, result_infos):
+        return NamedSharding(mesh, PartitionSpec())
+
+    def _part(mesh, arg_infos, result_infos):
+        repl = NamedSharding(mesh, PartitionSpec())
+        return mesh, (lambda x: x), repl, (repl,)
+
+    cp_ident.def_partition(infer_sharding_from_operands=_infer,
+                           partition=_part,
+                           sharding_rule="n d h w c -> n d h w c")
+
+    class CPModel(nn.Module):
+        num_classes: int = 2
+
+        @nn.compact
+        def __call__(self, x, train=True):
+            h = nn.Conv(self.num_classes, (3, 3, 3), padding="SAME")(x)
+            return [cp_ident(h)]
+
+    with pytest.raises(Exception):
+        jax.vmap(lambda x: cp_ident(x)[0])(jnp.zeros((1, 2, 2, 2, 2, 1)))
+
+    state = TrainState.create(CPModel(), optax.sgd(1e-3),
+                              jnp.zeros((1, 16, 16, 16, 1)),
+                              jax.random.PRNGKey(0))
+    result = evaluate(state, val_dataset, _losses(),
+                      save_dir=str(tmp_path / "cp"))
+    assert np.isfinite(result["mdice"])
+
+
 def test_eval_loader_range(tmp_path):
     from tools.generate_synthetic_dataset import generate
     from medicalseg_tpu.datasets import MedicalDataset
