@@ -48,8 +48,12 @@ def parse_args():
         help="Inference device.")
     parser.add_argument(
         "--precision", type=str, default="fp32",
-        choices=["fp32", "bf16"],
-        help="Compute precision (bf16 = TPU-native half precision).")
+        choices=["fp32", "bf16", "int8"],
+        help="Compute precision: bf16 = TPU-native half precision "
+             "(the TRT-fp16 analog); int8 = weight-only int8 "
+             "quantization with per-channel scales, dequantized to "
+             "bf16 inside the jitted forward (the TRT-int8 analog, "
+             "reference infer.py:286-321).")
     parser.add_argument(
         "--enable_auto_tune", type=strtobool, default=False,
         help="Kept for CLI parity: XLA autotunes during the first "
@@ -151,7 +155,11 @@ class Predictor:
         self._variables = None
         self._apply = None
 
-        if os.path.exists(self.cfg.model_file):
+        # int8 dequantizes weights inside the forward, so it needs the
+        # rebuilt module (the serialized StableHLO's signature takes
+        # full-precision parameter operands)
+        if os.path.exists(self.cfg.model_file) \
+                and args.precision != "int8":
             try:
                 from jax import export as jax_export
                 with open(self.cfg.model_file, "rb") as f:
@@ -165,6 +173,13 @@ class Predictor:
         # params are needed for the StableHLO call too
         if self._variables is None:
             self._load_variables()
+        if args.precision == "int8":
+            # weight-only quantization at load time (TRT builds its int8
+            # engine from the fp32 weights the same way); the int8
+            # tensors are what gets pinned in HBM below
+            from medicalseg_tpu.utils import quant
+            self._variables = quant.quantize_tree(
+                jax.device_get(self._variables))
         # pin weights in HBM once — otherwise every call re-uploads the
         # full parameter set from host numpy
         self._variables = jax.device_put(self._variables)
@@ -183,12 +198,18 @@ class Predictor:
                 model_cfg[key] = tuple(
                     tuple(v) if isinstance(v, (list, tuple)) else v
                     for v in model_cfg[key])
-        if self.args.precision == "bf16":
+        if self.args.precision in ("bf16", "int8"):
             model_cfg["dtype"] = jnp.bfloat16
         model = manager.MODELS[kind](**model_cfg)
         output_op = self.cfg.output_op
+        dequant = None
+        if self.args.precision == "int8":
+            from medicalseg_tpu.utils import quant
+            dequant = quant.dequantize_tree
 
         def forward(variables, x):
+            if dequant is not None:
+                variables = dequant(variables)
             logits = model.apply(variables, x, train=False)[0]
             if output_op == "softmax":
                 return jax.nn.softmax(logits, axis=-1)
@@ -241,7 +262,8 @@ class Predictor:
         if not hasattr(self, "_bucket_calls"):
             self._bucket_calls = {}
         call, fixed_n = None, None
-        path = self.cfg.bucket_model_file(key)
+        path = None if self.args.precision == "int8" \
+            else self.cfg.bucket_model_file(key)
         if path and os.path.exists(path):
             try:
                 from jax import export as jax_export
@@ -315,8 +337,15 @@ class Predictor:
         roi = tuple(self.cfg.input_shape[1:4])
         num_classes = int(self.cfg.model_config.get("num_classes", 2))
         volumes = jnp.stack([jnp.asarray(v) for v in vols])[..., None]
+        apply_fn = self._model.apply
+        if self.args.precision == "int8":
+            from medicalseg_tpu.utils import quant
+
+            def apply_fn(variables, *a, **kw):
+                return self._model.apply(
+                    quant.dequantize_tree(variables), *a, **kw)
         logits = sliding_window_inference_batched(
-            self._model.apply, self._variables, volumes,
+            apply_fn, self._variables, volumes,
             roi, num_classes=num_classes)
         if self.cfg.output_op == "softmax":
             return np.asarray(jax.nn.softmax(logits, axis=-1))

@@ -65,6 +65,76 @@ def test_predictor_runs(exported, tmp_path):
     assert set(np.unique(pred)) <= {0, 1}
 
 
+def test_quantize_roundtrip():
+    """Weight-only int8: per-channel symmetric absmax keeps relative
+    error within the 8-bit budget and skips small/1-D leaves."""
+    from medicalseg_tpu.utils import quant
+
+    rng = np.random.RandomState(0)
+    tree = {
+        "params": {
+            "Conv_0": {"kernel": rng.randn(5, 5, 5, 4, 8).astype(
+                np.float32) * np.logspace(-2, 0, 8, dtype=np.float32),
+                "bias": rng.randn(8).astype(np.float32)},
+        },
+        "batch_stats": {"BatchNorm_0": {"mean": rng.randn(8).astype(
+            np.float32)}},
+    }
+    q = quant.quantize_tree(tree, min_size=64)
+    # kernel quantized, 1-D leaves untouched
+    assert quant.QUANT_KEY in q["params"]["Conv_0"]["kernel"]
+    assert q["params"]["Conv_0"]["kernel"][quant.QUANT_KEY].dtype == \
+        np.int8
+    np.testing.assert_array_equal(q["params"]["Conv_0"]["bias"],
+                                  tree["params"]["Conv_0"]["bias"])
+    d = quant.dequantize_tree(q)
+    w, wq = tree["params"]["Conv_0"]["kernel"], np.asarray(
+        d["params"]["Conv_0"]["kernel"])
+    # symmetric absmax int8: error <= scale/2 = absmax/254 per channel
+    absmax = np.abs(w).max(axis=(0, 1, 2, 3))
+    assert (np.abs(w - wq) <= absmax / 254 + 1e-7).all()
+
+
+def test_predictor_int8(exported, tmp_path):
+    """--precision int8 serves from weight-quantized parameters and
+    agrees with the fp32 path on nearly every voxel (the TRT-int8
+    analog, reference deploy/python/infer.py:286-321)."""
+    sys.path.insert(0, osp.join(osp.dirname(__file__), "..", "deploy",
+                                "python"))
+    import importlib
+    infer_cli = importlib.import_module("infer")
+
+    vol = np.random.RandomState(2).rand(16, 16, 16).astype(np.float32)
+    img_path = str(tmp_path / "v.npy")
+    np.save(img_path, vol)
+
+    outs = {}
+    for precision in ("fp32", "int8"):
+        args = argparse.Namespace(
+            config=osp.join(exported, "deploy.yaml"),
+            image_path=img_path, batch_size=1,
+            save_dir=str(tmp_path / ("preds_" + precision)),
+            device="cpu", precision=precision, enable_auto_tune=False,
+            benchmark=False, with_argmax=False, use_swl=False)
+        predictor = infer_cli.Predictor(args)
+        if precision == "int8":
+            from medicalseg_tpu.utils import quant
+            kernels = [k for k in _iter_leaf_dicts(predictor._variables)
+                       if quant.QUANT_KEY in k]
+            assert kernels, "int8 predictor holds no quantized weights"
+        outs[precision] = np.load(predictor.run([img_path])[0])
+    assert outs["int8"].shape == outs["fp32"].shape
+    agreement = (outs["int8"] == outs["fp32"]).mean()
+    assert agreement >= 0.9, agreement
+
+
+def _iter_leaf_dicts(tree):
+    if isinstance(tree, dict):
+        yield tree
+        for v in tree.values():
+            yield from _iter_leaf_dicts(v)
+
+
 def test_predictor_shape_buckets(exported, tmp_path):
     """Variable-size volumes route to the smallest fitting bucket
     (reference TRT auto-tuned dynamic shapes, infer.py:178-224): a 16^3
