@@ -73,13 +73,19 @@ def make_volume_lesions(rng, size=128, num_classes=3):
 def make_volume_spine(rng, size=None, num_classes=20):
     """A spine-MRI-like volume at the MRISpineSeg geometry
     (512 x 512 x 12, 20 classes — reference configs/mri_spine_seg/
-    vnetdeepsup_mri_spine_seg_512_512_12_15k.yml): a curved vertebral
-    column in the sagittal plane, ~10 vertebral bodies (classes 1-10,
-    numbered caudal->cranial) alternating with 9 intervertebral discs
-    (classes 11-19). Class identity is *ordinal* — the net must locate
-    each level, not threshold intensities — which is what makes the real
-    task hard. Extent is near-constant across the 12 sagittal slices
-    with small jitter.
+    vnetdeepsup_mri_spine_seg_512_512_12_15k.yml). Class map mirrors
+    the real MRSpineSeg labels: **class 1 = sacrum** (a distinct
+    downward-tapering, posteriorly-drifting wedge — the caudal anchor),
+    classes 2-10 = 9 vertebral bodies caudal->cranial with a
+    caudal->cranial size gradient (~3.5%/level, lumbar bodies are
+    larger than thoracic), classes 11-19 = intervertebral discs
+    (11 = the sacrum/L5 junction). Identity is anchored + ordinal:
+    the sacrum's unique shape plus the size gradient give local cues
+    for counting levels — the same cues that make the real task
+    learnable (a first cut with 10 interchangeable vertebrae and no
+    anchor plateaued at val mDice 0.085: the net segmented the column,
+    binary dice 0.89, but could not assign level identity).
+    Extent is near-constant across the 12 sagittal slices w/ jitter.
     """
     H, W, D = 512, 512, 12
     yy = np.arange(H, dtype=np.float32)
@@ -97,38 +103,56 @@ def make_volume_spine(rng, size=None, num_classes=20):
     curve = x0 + amp * np.sin(yy / H * 2.2 * np.pi + phase)
 
     label = np.zeros((H, W, D), np.int32)
-    # stack from bottom: 10 vertebrae alternating with 9 discs
-    vert_h = rng.uniform(26, 34)
-    disc_h = rng.uniform(7, 11)
-    y = H - rng.uniform(40, 90)  # caudal start
-    half_w = rng.uniform(22, 30)
-    for level in range(10):
-        # vertebral body: rounded rectangle, marrow-bright w/ texture
-        y_top = y - vert_h
+    vert_h0 = rng.uniform(27, 33)
+    disc_h = rng.uniform(7, 10)
+    half_w0 = rng.uniform(24, 32)
+    y = H - rng.uniform(30, 70)  # caudal-most extent (sacrum tip)
+
+    # ---- sacrum (class 1): tapers downward, drifts posteriorly
+    sac_h = rng.uniform(55, 70)
+    y_top = y - sac_h
+    frac = np.clip((yy - y_top) / sac_h, 0.0, 1.0)  # 1 at top, 0 at tip
+    drift = rng.uniform(18, 32)
+    sac_hw = half_w0 * (0.35 + 1.0 * frac)
+    for d in range(D):
+        jx = rng.uniform(-2, 2)
+        xc = curve + (1.0 - frac) * drift + jx
+        xs = np.abs(xx[None, :] - xc[:, None]) < sac_hw[:, None]
+        keep = ((yy >= y_top) & (yy < y))[:, None] & xs
+        label[:, :, d][keep] = 1
+        img[:, :, d][keep] = rng.uniform(0.48, 0.58)
+    y = y_top
+
+    # ---- 9 x (disc, vertebra) caudal -> cranial with size gradient
+    for k in range(9):
+        hw = half_w0 * (1.0 - 0.03 * k)
+        # disc below vertebra k (class 11+k; 11 = sacrum/L5 junction):
+        # thinner, brighter (T2-bright nucleus)
+        yd_top = y - disc_h
+        for d in range(D):
+            xs = np.abs(xx[None, :] - curve[:, None]) < hw * 0.9
+            keep = ((yy >= yd_top) & (yy < y))[:, None] & xs
+            label[:, :, d][keep] = 11 + k
+            img[:, :, d][keep] = rng.uniform(0.78, 0.9)
+        y = yd_top
+        # vertebral body (class 2+k): rounded rect, marrow-bright
+        vh = vert_h0 * (1.0 - 0.035 * k)
+        y_top = y - vh
         ys = (yy >= y_top) & (yy < y)
         for d in range(D):
             jx = rng.uniform(-2, 2)
-            xs = np.abs(xx[None, :] - (curve[:, None] + jx)) < half_w
+            xs = np.abs(xx[None, :] - (curve[:, None] + jx)) < hw
             # shrink at the block's vertical edges (rounded corners)
-            edge = np.minimum(yy - y_top, y - yy) / vert_h
+            edge = np.minimum(yy - y_top, y - yy) / vh
             keep = ys[:, None] & xs & (edge[:, None] > 0.06)
-            label[:, :, d][keep] = 1 + level
+            label[:, :, d][keep] = 2 + k
             img[:, :, d][keep] = rng.uniform(0.55, 0.7)
-        if level < 9:
-            # disc above: thinner, brighter (T2-bright nucleus)
-            yd_top = y_top - disc_h
-            yds = (yy >= yd_top) & (yy < y_top)
-            for d in range(D):
-                xs = np.abs(xx[None, :] - curve[:, None]) < half_w * 0.9
-                keep = yds[:, None] & xs
-                label[:, :, d][keep] = 11 + level
-                img[:, :, d][keep] = rng.uniform(0.78, 0.9)
-        y = y_top - disc_h
+        y = y_top
 
     # spinal canal stripe behind the column (dark), unlabeled
     for d in range(D):
-        xs = (xx[None, :] - (curve[:, None] + half_w + 8) > 0) & \
-             (xx[None, :] - (curve[:, None] + half_w + 8) < 12)
+        xs = (xx[None, :] - (curve[:, None] + half_w0 + 8) > 0) & \
+             (xx[None, :] - (curve[:, None] + half_w0 + 8) < 12)
         img[:, :, d][xs] *= 0.5
 
     img += rng.normal(0.0, 0.05, (H, W, D)).astype(np.float32)

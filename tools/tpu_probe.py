@@ -119,8 +119,10 @@ def probe_train_profile(steps=3):
 
     batch = 2
     variant = os.environ.get("PROBE_CONV", "pallas")
+    updown = os.environ.get("PROBE_UPDOWN", "default")
     model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
-                 remat=True, head_conv=variant, mid_conv=variant)
+                 remat=True, head_conv=variant, mid_conv=variant,
+                 updown_conv=updown)
     losses = {"types": [MixedLoss([CrossEntropyLoss(), DiceLoss()],
                                   [1.0, 1.0])], "coef": [1]}
     tx = optax.chain(optax.add_decayed_weights(1e-4),
@@ -505,10 +507,13 @@ def probe_model_fwd(iters=10):
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(1, 128, 128, 128, 1).astype(np.float32))
-    for head, mid in (("default", "default"), ("pallas", "default"),
-                      ("pallas", "pallas")):
+    for head, mid, updown in (("default", "default", "default"),
+                              ("pallas", "default", "default"),
+                              ("pallas", "pallas", "default"),
+                              ("pallas", "pallas", "s2d"),
+                              ("default", "default", "s2d")):
         model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
-                     head_conv=head, mid_conv=mid)
+                     head_conv=head, mid_conv=mid, updown_conv=updown)
         v = jax.jit(lambda k, x: model.init(k, x, train=False))(
             jax.random.PRNGKey(0), x)
         f = jax.jit(lambda v, x: model.apply(v, x, train=False)[0])
@@ -517,8 +522,9 @@ def probe_model_fwd(iters=10):
         for _ in range(iters):
             o = f(v, x)
         _sync(o)
-        print("VNet fwd 128^3 b1 bf16 head={} mid={}: {:.1f} ms wall"
-              .format(head, mid, (time.time() - t0) / iters * 1e3))
+        print("VNet fwd 128^3 b1 bf16 head={} mid={} updown={}: "
+              "{:.1f} ms wall".format(
+                  head, mid, updown, (time.time() - t0) / iters * 1e3))
 
 
 def main():
