@@ -28,11 +28,15 @@ class PReLU(nn.Module):
     channel_axis: int = -1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, alpha_only: bool = False):
         alpha = self.param(
             "alpha", lambda key, shape: jnp.full(shape, self.init_value,
                                                  jnp.float32),
             (x.shape[self.channel_axis],))
+        if alpha_only:
+            # the raw f32 [C] vector, for fusion into a conv epilogue
+            # (x is a shape-only dummy in this mode)
+            return alpha
         alpha = alpha.astype(self.dtype)
         if self.channel_axis % x.ndim != x.ndim - 1:
             bshape = [1] * x.ndim
@@ -48,10 +52,12 @@ class Activation(nn.Module):
     channel_axis: int = -1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, alpha_only: bool = False):
         if self.elu:
+            assert not alpha_only  # elu has no conv-epilogue form
             return nn.elu(x)
-        return PReLU(dtype=self.dtype, channel_axis=self.channel_axis)(x)
+        return PReLU(dtype=self.dtype, channel_axis=self.channel_axis)(
+            x, alpha_only=alpha_only)
 
 
 class BatchNorm3D(nn.Module):
@@ -73,7 +79,8 @@ class BatchNorm3D(nn.Module):
     channel_axis: int = -1  # -1 NDHWC; 2 for the Pallas kernel layout
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True,
+                 affine_only: bool = False):
         cax = self.channel_axis % x.ndim
         features = x.shape[cax]
         ra_mean = self.variable("batch_stats", "mean",
@@ -84,6 +91,15 @@ class BatchNorm3D(nn.Module):
                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (features,),
                           jnp.float32)
+
+        if affine_only:
+            # inference normalize folded to (inv, shift) f32 [C] for
+            # fusion into a conv epilogue (x is a shape-only dummy);
+            # train-mode stats need the conv output first, so fusion
+            # is eval-only by construction
+            assert not train
+            inv_v = scale * jax.lax.rsqrt(ra_var.value + self.epsilon)
+            return inv_v, bias - ra_mean.value * inv_v
 
         if train:
             xf = x.astype(jnp.float32)
@@ -213,7 +229,10 @@ class PallasConv5KL(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xk):
+    def __call__(self, xk, epilogue=None):
+        """``epilogue=(inv, shift, alpha)`` (each f32 [Co]) fuses the
+        BN affine + PReLU into the kernel's output path — inference
+        only (the fused op has no VJP; callers gate on train)."""
         from ..ops import pallas_conv5 as pc
 
         ci = xk.shape[2]
@@ -227,8 +246,13 @@ class PallasConv5KL(nn.Module):
                     pc.head_eligible_kl)(xk.shape, ci, self.features,
                                          dtype=xk.dtype)
         if not eligible:
-            return pc._conv5_xla_kl(xk, kern, bias.astype(self.dtype))
+            out = pc._conv5_xla_kl(xk, kern, bias.astype(self.dtype))
+            return (out if epilogue is None else
+                    pc.ep_apply_kl(out, epilogue))
         interpret = jax.default_backend() != "tpu"
+        if epilogue is not None:
+            return pc.conv5_kl_fused(xk, kern, bias, epilogue,
+                                     self.kind, interpret)
         return pc.conv5_kl(xk, kern, bias, self.kind, interpret)
 
 
@@ -255,11 +279,25 @@ class ConvBNAct(nn.Module):
     def __call__(self, x, train: bool = True):
         if self.layout == "kl":
             assert self.lane_pad == "pallas"
-            x = PallasConv5KL(self.features, kind="head",
-                              dtype=self.dtype, name="Conv_0")(x)
-            x = BatchNorm3D(dtype=self.dtype, channel_axis=2)(x, train)
-            return Activation(elu=self.elu, dtype=self.dtype,
-                              channel_axis=2)(x)
+            conv = PallasConv5KL(self.features, kind="head",
+                                 dtype=self.dtype, name="Conv_0")
+            bn = BatchNorm3D(dtype=self.dtype, channel_axis=2,
+                             name="BatchNorm3D_0")
+            act = Activation(elu=self.elu, dtype=self.dtype,
+                             channel_axis=2, name="Activation_0")
+            if not train and not self.elu:
+                # eval: fold BN (running stats) + PReLU into the conv
+                # kernel's epilogue — no separate elementwise HBM
+                # round trips. Param tree is identical to the unfused
+                # path (the modules still own their params).
+                dummy = jnp.zeros((1, 1, self.features, 1, 1),
+                                  self.dtype)
+                inv, shift = bn(dummy, train=False, affine_only=True)
+                alpha = act(dummy, alpha_only=True)
+                return conv(x, epilogue=(inv, shift, alpha))
+            x = conv(x)
+            x = bn(x, train)
+            return act(x)
         if (self.lane_pad == "pallas" and self.features <= 64 and
                 tuple(self.kernel_size) == (5, 5, 5) and
                 tuple(self.strides) == (1, 1, 1) and

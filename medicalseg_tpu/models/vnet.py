@@ -76,10 +76,21 @@ class InputTransition(nn.Module):
             # entry transpose moves a size-1 axis — a free reshape).
             from .layers import PallasConv5KL
             xk = pc.to_kl(x)
-            out = PallasConv5KL(self.num_features, kind="stem",
-                                dtype=self.dtype, name="Conv_0")(xk)
-            out = BatchNorm3D(dtype=self.dtype, channel_axis=2)(
-                out, train)
+            conv = PallasConv5KL(self.num_features, kind="stem",
+                                 dtype=self.dtype, name="Conv_0")
+            bn = BatchNorm3D(dtype=self.dtype, channel_axis=2,
+                             name="BatchNorm3D_0")
+            if not train:
+                # eval: fold the BN affine into the stem kernel's
+                # epilogue (alpha=1 — the PReLU here comes after the
+                # input-tiling residual, so it stays separate)
+                dummy = jnp.zeros((1, 1, self.num_features, 1, 1),
+                                  self.dtype)
+                inv, shift = bn(dummy, train=False, affine_only=True)
+                out = conv(xk, epilogue=(inv, shift,
+                                         jnp.ones_like(inv)))
+            else:
+                out = bn(conv(xk), train)
             x_tile = jnp.tile(xk, (1, 1, repeat, 1, 1)).astype(
                 self.dtype)
             out = Activation(elu=self.elu, dtype=self.dtype,

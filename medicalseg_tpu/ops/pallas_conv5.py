@@ -155,8 +155,8 @@ def stem_eligible_kl(xk_shape, ci, co, dtype=jnp.float32):
 # ----------------------------------------------------------------------
 # the unified kernel
 # ----------------------------------------------------------------------
-def _conv5_kernel(xt_ref, lhs_ref, b_ref, out_ref, slab, sem,
-                  *, kd_n, ci_p, co_p, hc, w, lc, fold_kw):
+def _conv5_kernel(xt_ref, lhs_ref, b_ref, *rest,
+                  kd_n, ci_p, co_p, hc, w, lc, fold_kw, fuse_ep=False):
     """One (n, d, h-chunk) program.
 
     xt_ref: HBM [N, D', Ci', M + (H+4)*W + M]  (D' = D+4 for the head,
@@ -171,7 +171,18 @@ def _conv5_kernel(xt_ref, lhs_ref, b_ref, out_ref, slab, sem,
         column c holds flattened spatial position (hi*hc*W + c -
         MARGIN) of the (H+4)-padded volume, so output voxel q sits at
         column q + MARGIN.
+    fuse_ep: inference-mode epilogue — ep_ref (VMEM [3*Co', 1] f32)
+        holds the folded BatchNorm affine (inv = scale*rsqrt(var+eps)
+        rows [0, Co'), shift = bias_bn - mean*inv rows [Co', 2Co')) and
+        the PReLU alpha (rows [2Co', 3Co'); alpha=1 when only BN is
+        fused). Applying them here, while the f32 result block is
+        still in VMEM, removes the separate BN + PReLU elementwise
+        HBM round trips between consecutive convs.
     """
+    if fuse_ep:
+        ep_ref, out_ref, slab, sem = rest
+    else:
+        out_ref, slab, sem = rest
     n = pl.program_id(0)
     d = pl.program_id(1)
     hi = pl.program_id(2)
@@ -237,29 +248,40 @@ def _conv5_kernel(xt_ref, lhs_ref, b_ref, out_ref, slab, sem,
                 res = res + acc[kh * cc:(kh + 1) * cc,
                                 off:off + hc * w]
         res = res + b_ref[c * cc:(c + 1) * cc].astype(jnp.float32)
+        if fuse_ep:
+            inv = ep_ref[c * cc:(c + 1) * cc]
+            shift = ep_ref[co_p + c * cc:co_p + (c + 1) * cc]
+            alpha = ep_ref[2 * co_p + c * cc:2 * co_p + (c + 1) * cc]
+            res = res * inv + shift
+            res = jnp.where(res >= 0, res, res * alpha)
         out_ref[0, 0, c * cc:(c + 1) * cc, :] = res.astype(
             out_ref.dtype)
 
 
 def _run_conv5(xt, lhs, bias, *, n, d_out, h, w, kd_n, ci_p, co_p,
-               dtype, fold_kw, interpret):
+               dtype, fold_kw, interpret, ep=None):
     hc = _pick_hc(h, w, ci_p, co_p, kd_n, jnp.dtype(dtype).itemsize,
                   fold_kw, align=not interpret)
     lc = (hc + 4) * w + 2 * MARGIN
     grid = (n, d_out, h // hc)
     kernel = functools.partial(
         _conv5_kernel, kd_n=kd_n, ci_p=ci_p, co_p=co_p, hc=hc, w=w,
-        lc=lc, fold_kw=fold_kw)
+        lc=lc, fold_kw=fold_kw, fuse_ep=ep is not None)
     m = (K * K if fold_kw else K) * co_p
     flops = 2 * m * (kd_n * ci_p) * lc * n * d_out * (h // hc)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # xt stays in HBM
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    args = [xt, lhs, bias]
+    if ep is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(ep)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # xt stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, co_p, hc * w),
             lambda ni, di, hi: (ni, di, 0, hi),
@@ -274,7 +296,7 @@ def _run_conv5(xt, lhs, bias, *, n, d_out, h, w, kd_n, ci_p, co_p,
             bytes_accessed=xt.size * xt.dtype.itemsize * kd_n,
             transcendentals=0),
         interpret=interpret,
-    )(xt, lhs, bias)
+    )(*args)
 
 
 def _finish(out, n, d, h, w, co):
@@ -307,12 +329,35 @@ def from_kl(xk):
 # ----------------------------------------------------------------------
 # head: general C_in, small C_out
 # ----------------------------------------------------------------------
-def _conv5_head_kl(xk, w, b, *, interpret=False):
+def _pack_ep(ep, co, co_p):
+    """(inv, shift, alpha) [Co] f32 -> the kernel's [3*Co', 1] layout.
+    Padded channels get inv=0/shift=0/alpha=1 (they are sliced away)."""
+    inv, shift, alpha = (jnp.asarray(v, jnp.float32) for v in ep)
+    pad = co_p - co
+    return jnp.concatenate([
+        jnp.pad(inv, (0, pad)), jnp.pad(shift, (0, pad)),
+        jnp.pad(alpha, (0, pad), constant_values=1.0)]).reshape(
+            3 * co_p, 1)
+
+
+def ep_apply_kl(yk, ep):
+    """Reference epilogue on a kernel-layout tensor (the XLA fallback
+    for ineligible shapes; numerics match the in-kernel f32 epilogue).
+    ``ep`` = (inv, shift, alpha), each [C] f32."""
+    inv, shift, alpha = (jnp.asarray(v, jnp.float32).reshape(
+        1, 1, -1, 1, 1) for v in ep)
+    f = yk.astype(jnp.float32) * inv + shift
+    f = jnp.where(f >= 0, f, f * alpha)
+    return f.astype(yk.dtype)
+
+
+def _conv5_head_kl(xk, w, b, *, interpret=False, ep=None):
     """Head conv in kernel layout: [N, D, Ci, H, W] -> [N, D, Co, H, W].
 
     No transposes — the halo/margin pads and the flat reshape are the
     only XLA glue, so consecutive convs (and the BN/PReLU between them)
-    chain without layout copies."""
+    chain without layout copies. ``ep`` (inference only) fuses the
+    BN affine + PReLU into the kernel's output path."""
     n, d, ci, h, ww = xk.shape
     co = w.shape[-1]
     dt = xk.dtype
@@ -335,7 +380,8 @@ def _conv5_head_kl(xk, w, b, *, interpret=False):
 
     out = _run_conv5(xt, lhs, bias, n=n, d_out=d, h=h, w=ww, kd_n=K,
                      ci_p=ci_p, co_p=co_p, dtype=dt, fold_kw=True,
-                     interpret=interpret)
+                     interpret=interpret,
+                     ep=None if ep is None else _pack_ep(ep, co, co_p))
     return out.reshape(n, d, co_p, h, ww)[:, :, :co]
 
 
@@ -346,7 +392,7 @@ def _conv5_head_pallas(x, w, b, *, interpret=False):
 # ----------------------------------------------------------------------
 # stem: C_in = 1 — kd AND kw taps folded into pre-shifted channels
 # ----------------------------------------------------------------------
-def _conv5_stem_kl(xk, w, b, *, interpret=False):
+def _conv5_stem_kl(xk, w, b, *, interpret=False, ep=None):
     """Stem conv: [N, D, 1, H, W] -> [N, D, Co, H, W]. The input layout
     is immaterial (the 25 shifted copies are built from the squeezed
     volume either way), so this is also the NDHWC path's workhorse."""
@@ -376,7 +422,8 @@ def _conv5_stem_kl(xk, w, b, *, interpret=False):
 
     out = _run_conv5(xt, lhs, bias, n=n, d_out=d, h=h, w=ww, kd_n=1,
                      ci_p=ci_p, co_p=co_p, dtype=dt, fold_kw=False,
-                     interpret=interpret)
+                     interpret=interpret,
+                     ep=None if ep is None else _pack_ep(ep, co, co_p))
     return out.reshape(n, d, co_p, h, ww)[:, :, :co]
 
 
@@ -918,6 +965,68 @@ def _cp_batchmap_kl(kind, interpret):
     fn.def_partition(infer_sharding_from_operands=infer, partition=part,
                      sharding_rule="n d i h w, a b c i o, o -> n d o h w")
     return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _cp_batchmap_kl_fused(kind, interpret):
+    """Fused-epilogue twin of :func:`_cp_batchmap_kl` (inference only):
+    three extra replicated [Co] f32 operands — the BatchNorm affine
+    (inv, shift) and PReLU alpha — applied in the kernel's output path.
+    No VJP: training-mode BN needs the conv output's batch statistics
+    before it can normalize, so fusion is eval/serving-only by
+    construction."""
+    impl = {"head": _conv5_head_kl, "stem": _conv5_stem_kl}[kind]
+    ok = {"head": head_eligible_kl, "stem": stem_eligible_kl}[kind]
+
+    def call(xk, w, b, inv, shift, alpha):
+        return impl(xk, w, b, interpret=interpret,
+                    ep=(inv, shift, alpha))
+
+    fn = custom_partitioning(call)
+
+    def infer(mesh, arg_infos, result_infos):
+        batch, hax = _xk_axes(arg_infos[0])
+        return NamedSharding(mesh, PartitionSpec(batch, None, None, hax))
+
+    def part(mesh, arg_infos, result_infos):
+        batch, hax = _xk_axes(arg_infos[0])
+        repl = NamedSharding(mesh, PartitionSpec())
+        if hax is not None and arg_infos[0].shape[3] % int(
+                mesh.shape[hax]) != 0:
+            hax = None
+        x_sh = NamedSharding(mesh, PartitionSpec(batch, None, None, hax))
+        out_sh = NamedSharding(mesh, PartitionSpec(batch, None, None,
+                                                   hax))
+        if hax is None:
+            return mesh, call, out_sh, (x_sh,) + (repl,) * 5
+
+        size = int(mesh.shape[hax])
+
+        def lower(xk, w, b, inv, shift, alpha):
+            xe = _halo_h_kl(xk, hax, size)
+            if ok(xe.shape, xe.shape[2], w.shape[-1], dtype=xe.dtype):
+                y = call(xe, w, b, inv, shift, alpha)
+            else:
+                y = ep_apply_kl(_conv5_xla_kl(xe, w, b),
+                                (inv, shift, alpha))
+            return y[:, :, :, P:-P]
+
+        return mesh, lower, out_sh, (x_sh,) + (repl,) * 5
+
+    fn.def_partition(
+        infer_sharding_from_operands=infer, partition=part,
+        sharding_rule="n d i h w, a b c i o, o, o, o, o -> n d o h w")
+    return fn
+
+
+def conv5_kl_fused(xk, w, b, ep, kind="head", interpret=False):
+    """5^3 SAME conv in kernel layout with the BN affine + PReLU fused
+    into the kernel's output path (inference only — no VJP; the caller
+    routes train-mode through :func:`conv5_kl` + separate BN/act).
+    ``ep`` = (inv, shift, alpha), each [Co] f32."""
+    inv, shift, alpha = ep
+    return _cp_batchmap_kl_fused(kind, interpret)(xk, w, b, inv, shift,
+                                                  alpha)
 
 
 @functools.lru_cache(maxsize=None)

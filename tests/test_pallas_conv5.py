@@ -291,3 +291,95 @@ def test_pin_kl_identity_vjp_and_sharding():
         ys = jax.jit(pc._pin)(xs)
     assert jnp.array_equal(np.asarray(ys), np.asarray(x))
     assert ys.sharding.spec == P("data", None, None, "space")
+
+
+# ----------------------------------------------------------------------
+# fused BN/PReLU epilogue (inference-only)
+# ----------------------------------------------------------------------
+def _ep(co, seed=0):
+    rng = np.random.RandomState(seed)
+    inv = jnp.asarray(rng.uniform(0.5, 2.0, co).astype(np.float32))
+    shift = jnp.asarray(rng.randn(co).astype(np.float32) * 0.1)
+    alpha = jnp.asarray(rng.uniform(0.05, 0.5, co).astype(np.float32))
+    return inv, shift, alpha
+
+
+def test_conv5_kl_fused_matches_separate_head():
+    """In-kernel BN-affine + PReLU epilogue == conv then the reference
+    elementwise ops (the HBM-round-trip path it replaces)."""
+    x, k, b = _data(2, 6, 4, 8, ci=8, co=3, seed=11)
+    xk = pc.to_kl(x)
+    ep = _ep(3, seed=1)
+    ref = pc.ep_apply_kl(pc.conv5_kl(xk, k, b, "head", True), ep)
+    got = pc.conv5_kl_fused(xk, k, b, ep, "head", True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+    # negative inputs must take the alpha slope, not relu-zero
+    assert (np.asarray(got) < 0).any()
+
+
+def test_conv5_kl_fused_matches_separate_stem():
+    x, k, b = _data(1, 6, 4, 8, ci=1, co=16, seed=12)
+    xk = pc.to_kl(x)
+    ep = _ep(16, seed=2)
+    ref = pc.ep_apply_kl(pc.conv5_kl(xk, k, b, "stem", True), ep)
+    got = pc.conv5_kl_fused(xk, k, b, ep, "stem", True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_conv5_kl_fused_alpha_one_is_affine_only():
+    """alpha=1 (the InputTransition stem fusion) must reduce to a pure
+    affine — identical on both sides of zero."""
+    x, k, b = _data(1, 4, 2, 8, ci=4, co=8, seed=13)
+    xk = pc.to_kl(x)
+    inv, shift, _ = _ep(8, seed=3)
+    ones = jnp.ones_like(inv)
+    y = pc.conv5_kl(xk, k, b, "head", True).astype(jnp.float32)
+    ref = y * inv.reshape(1, 1, -1, 1, 1) + shift.reshape(1, 1, -1, 1, 1)
+    got = pc.conv5_kl_fused(xk, k, b, (inv, shift, ones), "head", True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_convbnact_kl_eval_fuses_and_matches():
+    """ConvBNAct(layout='kl') at eval folds BN+PReLU into the conv
+    epilogue; output must match the module's separate-op math computed
+    from the same variables, and the param tree must be identical to
+    the train-mode (unfused) structure."""
+    from medicalseg_tpu.models.layers import ConvBNAct
+
+    rng = np.random.RandomState(21)
+    xk = jnp.asarray(rng.randn(1, 6, 8, 4, 8).astype(np.float32))
+    mod = ConvBNAct(8, elu=False, dtype=jnp.float32, lane_pad="pallas",
+                    layout="kl")
+    v_eval = mod.init(jax.random.PRNGKey(0), xk, train=False)
+    v_train = mod.init(jax.random.PRNGKey(0), xk, train=True)
+    assert jax.tree_util.tree_structure(v_eval) == \
+        jax.tree_util.tree_structure(v_train)
+
+    # perturb BN stats/params so the affine is non-trivial
+    p = jax.tree_util.tree_map(np.array, jax.device_get(v_eval))
+    p["batch_stats"]["BatchNorm3D_0"]["mean"] = \
+        p["batch_stats"]["BatchNorm3D_0"]["mean"] + 0.3
+    p["batch_stats"]["BatchNorm3D_0"]["var"] = \
+        p["batch_stats"]["BatchNorm3D_0"]["var"] * 1.7
+    p["params"]["BatchNorm3D_0"]["scale"] = \
+        p["params"]["BatchNorm3D_0"]["scale"] * 1.2
+    p["params"]["BatchNorm3D_0"]["bias"] = \
+        p["params"]["BatchNorm3D_0"]["bias"] - 0.1
+
+    got = mod.apply(p, xk, train=False)
+
+    bnp = p["params"]["BatchNorm3D_0"]
+    bns = p["batch_stats"]["BatchNorm3D_0"]
+    inv = bnp["scale"] / np.sqrt(bns["var"] + 1e-5)
+    shift = bnp["bias"] - bns["mean"] * inv
+    alpha = p["params"]["Activation_0"]["PReLU_0"]["alpha"]
+    y = pc.conv5_kl(xk, jnp.asarray(p["params"]["Conv_0"]["kernel"]),
+                    jnp.asarray(p["params"]["Conv_0"]["bias"]),
+                    "head", True)
+    ref = pc.ep_apply_kl(y, (jnp.asarray(inv), jnp.asarray(shift),
+                             jnp.asarray(alpha)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
