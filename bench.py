@@ -42,7 +42,11 @@ def _sync(x):
 
 
 def bench_pipeline(n_volumes=20, raw_shape=(200, 512, 512), iters=3,
-                   size=128):
+                   size=128, precision="bf16"):
+    """Device-resident raw->pred pipeline. precision='int8' serves from
+    weight-only int8 parameters (utils/quant.py): 4x fewer weight bytes
+    in HBM, dequant fused into the forward — the deploy Predictor's
+    --precision int8 path."""
     import jax
     import jax.numpy as jnp
 
@@ -58,9 +62,17 @@ def bench_pipeline(n_volumes=20, raw_shape=(200, 512, 512), iters=3,
     state = TrainState.create(model, optax.sgd(1e-3), sample,
                               jax.random.PRNGKey(0))
     variables = state.variables
+    dequant = None
+    if precision == "int8":
+        from medicalseg_tpu.utils import quant
+        variables = jax.device_put(
+            quant.quantize_tree(jax.device_get(variables)))
+        dequant = quant.dequantize_tree
 
     @jax.jit
     def pipeline(variables, raw):
+        if dequant is not None:
+            variables = dequant(variables)
         # fused pallas HU-window + D-resize, then H/W einsums
         vol = ops.hu_norm_resize(raw, (size, size, size))
         vol = vol / jnp.maximum(jnp.max(vol), 1e-6)
@@ -396,6 +408,15 @@ def main():
                 batch=4, n_volumes=20, raw_shape=raw_shape, iters=3)
         except Exception as e:
             print("# batched bench failed: {}".format(e))
+    int8_vps = 0.0
+    if not small:
+        _note("int8 pipeline")
+        try:
+            int8_vps = bench_pipeline(
+                n_volumes=20, raw_shape=raw_shape, iters=3, size=size,
+                precision="int8")
+        except Exception as e:
+            print("# int8 bench failed: {}".format(e))
     _note("train step")
     try:
         train_pps = bench_train(batch=1 if small else 2,
@@ -422,6 +443,7 @@ def main():
         "niigz_e2e_vps": round(niigz_vps, 3),
         "device_resident_vps": round(device_vps, 3),
         "device_resident_batched_vps": round(batched_vps, 3),
+        "device_resident_int8_vps": round(int8_vps, 3),
         "train_patches_per_sec_per_chip": round(train_pps, 3),
         "train_pps_multistep": round(train_pps_multi, 3),
         "host_prep_ms": breakdown.get("host_prep_ms", 0.0),

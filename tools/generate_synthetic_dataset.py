@@ -222,7 +222,9 @@ if __name__ == "__main__":
     parser.add_argument("--style", default="spheres",
                         choices=["spheres", "lesions", "spine"])
     parser.add_argument("--name", default="synthetic")
+    parser.add_argument("--val_frac", type=float, default=0.25)
     args = parser.parse_args()
     path = generate(args.root, args.num_volumes, args.size, seed=args.seed,
-                    style=args.style, name=args.name)
+                    val_frac=args.val_frac, style=args.style,
+                    name=args.name)
     print("Synthetic dataset written to", path)
