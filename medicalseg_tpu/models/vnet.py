@@ -30,21 +30,41 @@ def boundary_layouts(x_shape, ks, ss, pallas):
     """Per-stage transition-boundary layout: True = the Pallas kernel
     layout [N, D, C, H, W], False = NDHWC.
 
-    Shallow stages (wide W, narrow C) can pay ~10x HBM padding as
-    NDHWC on TPU (XLA lane-pads the tiny minor C to 128 on remat
-    pivots / transposes), and none as KL with the wide W extent on
-    lanes; deep stages (W < 128, wide C) are the reverse. W follows
-    the Down path's VALID strided-conv arithmetic. Returns flags for
-    the five encoder levels [out16, out32, out64, out128, out256];
-    decoder levels reuse their skip level's flag."""
+    Shallow stages at VOLUME scale (wide W, narrow C) can pay ~10x HBM
+    padding as NDHWC on TPU (XLA lane-pads the tiny minor C to 128 on
+    remat pivots / transposes) — at the 512-wide spine geometry that is
+    an OOM (18.7 GB / 15.75 GB), and the KL boundary with the wide W
+    extent on lanes is what makes it fit. At cube-128 scale, however,
+    XLA already picks good layouts and the boundary conversions ADD
+    ~5 big padded transposes per train step (measured: 5.99 -> 3.72
+    patches/s at 128^3 b2 when stage-0 was KL), so the boundary stays
+    NDHWC below W=256. W follows the Down path's VALID strided-conv
+    arithmetic. Returns flags for the five encoder levels [out16,
+    out32, out64, out128, out256]; decoder levels reuse their skip
+    level's flag."""
     if not pallas:
         return [False] * 5
     w = x_shape[3]
-    flags = [w % 128 == 0]
+    flags = [w >= 256 and w % 128 == 0]
     for i in range(4):
         w = (w - ks[i][2]) // ss[i][2] + 1
-        flags.append(w % 128 == 0)
+        flags.append(w >= 256 and w % 128 == 0)
     return flags
+
+
+def _kl_block(w, train, in_kl=False, out_kl=False):
+    """Whether a block should run its inner conv/BN/act chain in the
+    Pallas kernel layout [N, D, C, H, W]. KL chains win at eval (the
+    fused-epilogue kernels remove the BN/PReLU elementwise round trips
+    — serving measured 13.3 -> 16.3 vol/s at 128^3) and at volume
+    scale (W >= 256: NDHWC C-minor lane padding is an OOM at the
+    512-wide spine geometry), and are mandatory when the block's
+    boundary tensors are already KL. At cube-128 TRAIN they lose: the
+    block entry/exit transposes materialize ~5 stage-0-size
+    lane-padded tensors per step (measured 5.99 -> 3.72 patches/s
+    b2 128^3), so training below W=256 keeps the round-2 per-conv
+    NDHWC wrappers."""
+    return (not train) or in_kl or out_kl or w >= 256
 
 
 class InputTransition(nn.Module):
@@ -70,7 +90,8 @@ class InputTransition(nn.Module):
         repeat = self.num_features // self.in_channels
         if (self.stem_conv == "pallas" and self.in_channels == 1 and
                 pc.stem_eligible(x.shape, 1, self.num_features,
-                                 dtype=self.dtype)):
+                                 dtype=self.dtype) and
+                _kl_block(x.shape[3], train, out_kl=self.out_kl)):
             # whole block in the Pallas kernel layout: conv + BN + tiled
             # residual + PReLU without NDHWC layout round trips (the
             # entry transpose moves a size-1 axis — a free reshape).
@@ -149,8 +170,10 @@ class DownTransition(nn.Module):
         if self.dropout:
             out = ChannelDropout()(out, deterministic=not train)
         if self.conv_impl == "pallas":
-            if pc.head_eligible(out.shape, out_channels, out_channels,
-                                dtype=out.dtype):
+            if (pc.head_eligible(out.shape, out_channels, out_channels,
+                                 dtype=out.dtype) and
+                    _kl_block(out.shape[3], train, self.in_kl,
+                              self.out_kl)):
                 # residual nConv stack in the Pallas kernel layout: one
                 # transpose in/out per transition instead of layout
                 # copies at every conv / BN boundary.
@@ -203,7 +226,13 @@ class UpTransition(nn.Module):
         # VALID conv_transpose: out = (in-1)*stride + kernel, matching
         # paddle Conv3DTranspose shape math (SURVEY §7 hard parts).
         if (self.updown_impl == "s2d" and
-                tuple(self.up_kernel) == tuple(self.up_stride)):
+                tuple(self.up_kernel) == tuple(self.up_stride) and
+                min(out.shape[1:4]) >= 1):
+            # degenerate (zero-extent) bottlenecks fall through to
+            # nn.ConvTranspose: flax's VALID shape math emits extent 1
+            # from a 0-extent input, which tiny test geometries rely
+            # on; d2s keeps the exact in*k extent. Param trees match,
+            # so the switch is checkpoint-safe.
             from ..ops.updown import D2SConvTranspose
             out = D2SConvTranspose(self.out_channels // 2,
                                    tuple(self.up_kernel),
@@ -220,7 +249,9 @@ class UpTransition(nn.Module):
         cat_shape = out.shape[:4] + (self.out_channels,)
         if (self.conv_impl == "pallas" and
                 pc.head_eligible(cat_shape, self.out_channels,
-                                 self.out_channels, dtype=out.dtype)):
+                                 self.out_channels, dtype=out.dtype) and
+                _kl_block(cat_shape[3], train,
+                          self.in_kl or self.skip_kl, self.out_kl)):
             # concat + residual nConv stack in the kernel layout; a
             # kernel-layout skip concatenates directly on the channel
             # axis (no transpose of the big skip tensor).
@@ -274,8 +305,9 @@ class OutputTransition(nn.Module):
         x_shape = pc._kl_to_x_shape(x.shape) if self.in_kl else x.shape
         use_kl = False
         if self.head_conv == "pallas":
-            use_kl = pc.head_eligible(x_shape, x_shape[-1],
-                                      self.num_classes, dtype=x.dtype)
+            use_kl = (pc.head_eligible(x_shape, x_shape[-1],
+                                       self.num_classes, dtype=x.dtype)
+                      and _kl_block(x_shape[3], train, self.in_kl))
         if use_kl:
             xk = x if self.in_kl else pc.to_kl(x)
             outk = ConvBNAct(self.num_classes, (5, 5, 5), elu=self.elu,
@@ -317,9 +349,11 @@ class VNet(nn.Module):
     mid_conv: str = "default"  # 'default' | 'pallas' — conv impl of the
     # residual NConv stacks (Pallas MXU kernels where the traced shape
     # is eligible, XLA otherwise; see layers.NConvs)
-    updown_conv: str = "default"  # 'default' | 's2d' — stages whose
-    # window == stride run the down/up-sampling convs as single MXU
-    # matmuls (space-to-depth, ops/updown.py); others keep the XLA conv
+    updown_conv: str = "s2d"  # 's2d' (default) | 'default' — stages
+    # whose window == stride run the down/up-sampling convs as single
+    # MXU matmuls (space-to-depth, ops/updown.py; measured 348->340 ms
+    # b2 128^3 train step); others keep the XLA conv. Param trees are
+    # identical, so checkpoints interchange freely.
     dropout: bool = True  # False disables the mid-stage ChannelDropouts
     # (the reference's torch-alignment harness runs with dropout off,
     # reference vnet.py:285-404)

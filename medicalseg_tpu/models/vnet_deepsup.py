@@ -44,7 +44,7 @@ class VNetDeepSup(nn.Module):
     dtype: Any = jnp.float32
     head_conv: str = "default"  # 'pallas' also switches the stem
     mid_conv: str = "default"
-    updown_conv: str = "default"  # 's2d' — see vnet.VNet.updown_conv
+    updown_conv: str = "s2d"  # see vnet.VNet.updown_conv
     remat: bool = False  # per-block rematerialization (HBM <-> FLOPs)
 
     @nn.compact
