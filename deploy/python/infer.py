@@ -337,15 +337,25 @@ class Predictor:
         roi = tuple(self.cfg.input_shape[1:4])
         num_classes = int(self.cfg.model_config.get("num_classes", 2))
         volumes = jnp.stack([jnp.asarray(v) for v in vols])[..., None]
-        apply_fn = self._model.apply
-        if self.args.precision == "int8":
-            from medicalseg_tpu.utils import quant
+        # build the (dequant-aware) apply wrapper ONCE: apply_fn is a
+        # static jit argname inside the window scan, and functions hash
+        # by identity — a fresh closure per flush would retrace (and,
+        # through the slow axon remote compiler, recompile) the whole
+        # sliding-window program for every batch
+        if not hasattr(self, "_swl_apply"):
+            if self.args.precision == "int8":
+                from medicalseg_tpu.utils import quant
+                model = self._model
 
-            def apply_fn(variables, *a, **kw):
-                return self._model.apply(
-                    quant.dequantize_tree(variables), *a, **kw)
+                def _swl_apply(variables, *a, **kw):
+                    return model.apply(
+                        quant.dequantize_tree(variables), *a, **kw)
+
+                self._swl_apply = _swl_apply
+            else:
+                self._swl_apply = self._model.apply
         logits = sliding_window_inference_batched(
-            apply_fn, self._variables, volumes,
+            self._swl_apply, self._variables, volumes,
             roi, num_classes=num_classes)
         if self.cfg.output_op == "softmax":
             return np.asarray(jax.nn.softmax(logits, axis=-1))

