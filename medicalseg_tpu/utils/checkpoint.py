@@ -64,13 +64,37 @@ def save_checkpoint(save_dir, variables, opt_state=None, step=None):
     core/train.py:230-238 (paddle.save of .pdparams/.pdopt).
     """
     os.makedirs(save_dir, exist_ok=True)
-    with open(os.path.join(save_dir, MODEL_FILE), "wb") as f:
-        f.write(serialization.to_bytes(_to_host(variables)))
+    _atomic_write(os.path.join(save_dir, MODEL_FILE),
+                  serialization.to_bytes(_to_host(variables)))
     if opt_state is not None:
         payload = {"opt_state": _to_host(opt_state),
                    "step": np.asarray(step if step is not None else 0)}
-        with open(os.path.join(save_dir, OPT_FILE), "wb") as f:
-            f.write(serialization.to_bytes(payload))
+        _atomic_write(os.path.join(save_dir, OPT_FILE),
+                      serialization.to_bytes(payload))
+
+
+def _atomic_write(path, data):
+    """Write-to-tmp + rename so a SIGTERM mid-save (e.g. a wall-bounded
+    flagship run) can never leave a truncated msgpack behind; a file is
+    either absent or complete. OPT_FILE is written last, so its presence
+    marks a resumable checkpoint (see is_valid_checkpoint)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def is_valid_checkpoint(path, require_opt=True):
+    """True when ``path`` holds a complete, resumable checkpoint dir."""
+    if not os.path.isdir(path):
+        return False
+    if not os.path.exists(os.path.join(path, MODEL_FILE)):
+        return False
+    if require_opt and not os.path.exists(os.path.join(path, OPT_FILE)):
+        return False
+    return True
 
 
 def load_checkpoint(path, variables_template, opt_state_template=None):

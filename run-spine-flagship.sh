@@ -12,6 +12,7 @@
 # Checkpoints + eval curve land in output/synspine15k/ and
 # train.log; copy new eval points into documentation/benchmarks.md.
 set -e
+set -o pipefail
 
 cfg=configs/synthetic/vnetdeepsup_synspine_15k.yml
 save_dir=output/synspine15k
@@ -23,8 +24,20 @@ if [ ! -f data/synspine2/synspine2_phase0/train_list.txt ]; then
         --val_frac 0.1
 fi
 
-# Newest iter_N checkpoint, if any.
-resume=$(ls -d "$save_dir"/iter_* 2>/dev/null | sort -t_ -k2 -n | tail -1)
+# Newest COMPLETE iter_N checkpoint, if any. Checkpoint files are
+# written atomically (tmp+rename, opt.msgpack last — see
+# utils/checkpoint.py), so "opt.msgpack present" marks a resumable dir;
+# fall back past any dir a mid-save SIGTERM left without one. Sort on
+# basenames so an underscore in $save_dir can't break the numeric key.
+resume=""
+for d in $(ls "$save_dir" 2>/dev/null | grep '^iter_' | sort -t_ -k2 -rn); do
+    if [ -f "$save_dir/$d/opt.msgpack" ] && \
+       [ -f "$save_dir/$d/model.msgpack" ]; then
+        resume="$save_dir/$d"
+        break
+    fi
+    echo "Skipping incomplete checkpoint $save_dir/$d"
+done
 resume_flag=""
 if [ -n "$resume" ]; then
     echo "Resuming from $resume"
@@ -36,8 +49,16 @@ if [ -n "$SPINE_TIMEOUT" ]; then
     runner="timeout $SPINE_TIMEOUT python3"
 fi
 
+status=0
 $runner train.py --config "$cfg" \
     --save_dir "$save_dir" \
     --save_interval 500 --log_iters 50 \
     --do_eval --keep_checkpoint_max 3 --seed 7 \
-    $resume_flag 2>&1 | tee -a "$save_dir"/train.log
+    $resume_flag 2>&1 | tee -a "$save_dir"/train.log || status=$?
+
+# timeout(1) exit 124 is the expected wall-bounded stop, not a failure.
+if [ "$status" -eq 124 ]; then
+    echo "Wall-bounded stop (SPINE_TIMEOUT=${SPINE_TIMEOUT}s); resumable."
+    exit 0
+fi
+exit "$status"

@@ -76,6 +76,26 @@ def test_checkpoint_roundtrip(tmp_path):
                                   tpl_bad["params"]["w"])
 
 
+def test_checkpoint_atomic_and_validity(tmp_path):
+    """Saves never leave partial msgpack files; is_valid_checkpoint
+    rejects a dir that a mid-save SIGTERM left without opt.msgpack
+    (ADVICE r3: run-spine-flagship.sh resume crash)."""
+    from medicalseg_tpu.utils.checkpoint import is_valid_checkpoint
+
+    variables = {"params": {"w": np.zeros((2, 2), np.float32)}}
+    opt_state = {"m": np.zeros(2, np.float32)}
+    d = str(tmp_path / "iter_3")
+    save_checkpoint(d, variables, opt_state, step=3)
+    assert is_valid_checkpoint(d)
+    assert not any(f.endswith(".tmp") for f in os.listdir(d))
+
+    # Simulate interruption between the two file writes.
+    os.remove(os.path.join(d, "opt.msgpack"))
+    assert not is_valid_checkpoint(d)
+    assert is_valid_checkpoint(d, require_opt=False)
+    assert not is_valid_checkpoint(str(tmp_path / "iter_9"))
+
+
 def test_save_array(tmp_path):
     content = {"pred": np.random.RandomState(0).randint(
         0, 3, (1, 4, 4, 4))}
