@@ -65,6 +65,63 @@ def hu_resize_array(vol, size, hu_min=-1200.0, hu_max=600.0,
     return _view_bf16(out) if out_dtype == "bfloat16" else out
 
 
+def gzip_read_bytes(path):
+    """Inflate a whole gzip file via the native backend (libdeflate,
+    one-shot — measured 2-3x the Python gzip module on CT payloads).
+    Returns bytes, or None when the native path is unavailable (caller
+    falls back to the gzip module). Handles multi-member streams."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pb = os.fsencode(path)
+    hint = lib.ml_gzip_isize(pb)
+    if hint < 0:
+        return None
+    try:
+        fsize = os.path.getsize(path)
+    except OSError:
+        return None
+    cap = max(int(hint), fsize * 4, 1 << 20)
+    for _ in range(3):
+        out = np.empty(cap, np.uint8)
+        got = lib.ml_gzip_read(pb, out.ctypes.data_as(ctypes.c_void_p),
+                               cap)
+        if got >= 0:
+            # zero-copy view (copying 100+ MB payloads costs real ms on
+            # this 1-core host); callers treat it as bytes-like
+            return memoryview(out)[:got]
+        if got != -2:  # -3 no backend / -4 corrupt: let gzip module try
+            return None
+        cap *= 4
+    return None
+
+
+def load_nii_hu_resize(path, size, hu_min=-1200.0, hu_max=600.0,
+                       hu_nan=-2000.0, out_dtype="bfloat16", window=True,
+                       threads=0):
+    """One-shot .nii/.nii.gz ingest: native inflate + header parse +
+    fused HU-window/trilinear-resize, no intermediate Python-side
+    volume. Raises RuntimeError when the native fast path can't handle
+    the file (caller falls back to io.nifti.read + hu_resize_array).
+    Matches that fallback's numerics exactly (same hu_resize_run)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native medloader unavailable")
+    od, oh, ow = (int(s) for s in size)
+    out_kind, np_dtype = _OUT_KINDS[out_dtype]
+    out = np.empty((od, oh, ow), np_dtype)
+    dims = (ctypes.c_longlong * 3)()
+    got = lib.ml_load_nii_hu_resize(
+        os.fsencode(path), out.ctypes.data_as(ctypes.c_void_p), od, oh,
+        ow, hu_min, hu_max, hu_nan, out_kind, 1 if window else 0,
+        int(threads), dims)
+    if got != od * oh * ow:
+        raise RuntimeError(
+            "ml_load_nii_hu_resize({}) failed with code {}".format(
+                path, got))
+    return _view_bf16(out) if out_dtype == "bfloat16" else out
+
+
 def _lib_path():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     return os.path.join(root, "native", "libmedloader.so")
@@ -76,15 +133,29 @@ def _src_path():
 
 
 def build_library(force=False):
-    """Compile native/medloader.cpp -> libmedloader.so."""
+    """Compile native/medloader.cpp -> libmedloader.so.
+
+    Tries gzip backends in speed order: libdeflate (one-shot inflate,
+    2-3x zlib) then zlib; a build with neither still provides every
+    non-gzip entry point (ml_gzip_* return -3 and Python falls back to
+    its gzip module)."""
     lib = _lib_path()
     src = _src_path()
     if os.path.exists(lib) and not force and \
             os.path.getmtime(lib) >= os.path.getmtime(src):
         return lib
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-           src, "-o", lib]
-    subprocess.check_call(cmd)
+    base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+            src, "-o", lib]
+    for extra in (["-DML_WITH_DEFLATE", "-ldeflate"],
+                  ["-DML_WITH_ZLIB", "-lz"], []):
+        try:
+            subprocess.check_call(
+                base + extra, stderr=subprocess.DEVNULL)
+            return lib
+        except subprocess.CalledProcessError:
+            continue
+    # surface the real error from the preferred configuration
+    subprocess.check_call(base + ["-DML_WITH_DEFLATE", "-ldeflate"])
     return lib
 
 
@@ -132,6 +203,17 @@ def get_lib():
             ctypes.c_int, ctypes.c_int]
         lib.ml_hu_resize_i16.restype = ctypes.c_longlong
         lib.ml_hu_resize_i16.argtypes = lib.ml_hu_resize_f32.argtypes
+        lib.ml_gzip_isize.restype = ctypes.c_longlong
+        lib.ml_gzip_isize.argtypes = [ctypes.c_char_p]
+        lib.ml_gzip_read.restype = ctypes.c_longlong
+        lib.ml_gzip_read.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
+                                     ctypes.c_longlong]
+        lib.ml_load_nii_hu_resize.restype = ctypes.c_longlong
+        lib.ml_load_nii_hu_resize.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_longlong)]
         _LIB = lib
     except Exception as e:  # pragma: no cover - toolchain missing
         logger.warning("native medloader unavailable ({}); falling back "

@@ -115,3 +115,62 @@ def test_dispatch_read_write(tmp_path):
     np.testing.assert_allclose(data, vol, rtol=1e-6)
     with pytest.raises(ValueError):
         medio.read_image(str(tmp_path / "x.unknown"))
+
+
+def test_native_gzip_read_parity(tmp_path):
+    """Native libdeflate inflate returns byte-identical payloads to the
+    gzip module, including multi-member streams."""
+    import gzip as gz
+    from medicalseg_tpu import data_native
+    if data_native.get_lib() is None:
+        pytest.skip("native loader unavailable")
+    payload = np.random.RandomState(3).bytes(300000)
+    p = tmp_path / "a.gz"
+    with gz.open(str(p), "wb") as f:
+        f.write(payload)
+    got = data_native.gzip_read_bytes(str(p))
+    assert got is not None and bytes(got) == payload
+
+    p2 = tmp_path / "multi.gz"
+    with open(str(p2), "wb") as f:
+        f.write(gz.compress(b"hello "))
+        f.write(gz.compress(b"world"))
+    assert bytes(data_native.gzip_read_bytes(str(p2))) == b"hello world"
+
+
+def test_native_nii_fast_path_parity(tmp_path):
+    """ml_load_nii_hu_resize (one-shot inflate+parse+HU+resize) matches
+    the pure reader + hu_resize_array exactly for i16/f32 voxels, and
+    refuses unsupported dtypes so callers can fall back."""
+    from medicalseg_tpu import data_native
+    if data_native.get_lib() is None:
+        pytest.skip("native loader unavailable")
+    rng = np.random.RandomState(0)
+    vol = rng.uniform(-1400, 800, (20, 32, 24)).astype(
+        np.float32).astype(np.int16)
+    for name in ("v.nii", "v.nii.gz"):
+        p = str(tmp_path / name)
+        nifti.write(p, vol)
+        fast = data_native.load_nii_hu_resize(p, (16, 16, 16),
+                                              out_dtype="float32")
+        slow = data_native.hu_resize_array(
+            np.ascontiguousarray(nifti.read(p)[0]), (16, 16, 16),
+            out_dtype="float32")
+        np.testing.assert_array_equal(fast, slow)
+
+    volf = rng.uniform(-1400, 800, (10, 16, 16)).astype(np.float32)
+    p = str(tmp_path / "f.nii.gz")
+    nifti.write(p, volf)
+    fast = data_native.load_nii_hu_resize(p, (8, 8, 8),
+                                          out_dtype="bfloat16")
+    slow = data_native.hu_resize_array(volf, (8, 8, 8),
+                                       out_dtype="bfloat16")
+    np.testing.assert_array_equal(np.asarray(fast, np.float32),
+                                  np.asarray(slow, np.float32))
+
+    p = str(tmp_path / "d.nii.gz")
+    nifti.write(p, rng.uniform(0, 1, (4, 4, 4)).astype(np.float64))
+    with pytest.raises(RuntimeError):
+        data_native.load_nii_hu_resize(p, (4, 4, 4))
+    # the general reader still handles it (through the native inflate)
+    assert nifti.read(p)[0].dtype == np.float64
