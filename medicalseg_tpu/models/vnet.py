@@ -154,10 +154,12 @@ class DownTransition(nn.Module):
         if self.in_kl:
             x = pc.from_kl(x)
         out_channels = 2 * self.in_channels
+        from ..ops.updown import supports_s2d
         if (self.updown_impl == "s2d" and
-                tuple(self.down_kernel) == tuple(self.down_stride)):
+                supports_s2d(self.down_kernel, self.down_stride)):
             from ..ops.updown import S2DConv
             down = S2DConv(out_channels, tuple(self.down_kernel),
+                           strides=tuple(self.down_stride),
                            dtype=self.dtype, name="Conv_0")(x)
         else:
             down = nn.Conv(out_channels, tuple(self.down_kernel),
@@ -225,8 +227,11 @@ class UpTransition(nn.Module):
                 skip, deterministic=not train)
         # VALID conv_transpose: out = (in-1)*stride + kernel, matching
         # paddle Conv3DTranspose shape math (SURVEY §7 hard parts).
+        from ..ops.updown import supports_s2d
         if (self.updown_impl == "s2d" and
-                tuple(self.up_kernel) == tuple(self.up_stride) and
+                supports_s2d(self.up_kernel, self.up_stride) and
+                (tuple(self.up_kernel) == tuple(self.up_stride) or
+                 self.up_stride[0] == 1) and
                 min(out.shape[1:4]) >= 1):
             # degenerate (zero-extent) bottlenecks fall through to
             # nn.ConvTranspose: flax's VALID shape math emits extent 1
@@ -236,6 +241,7 @@ class UpTransition(nn.Module):
             from ..ops.updown import D2SConvTranspose
             out = D2SConvTranspose(self.out_channels // 2,
                                    tuple(self.up_kernel),
+                                   strides=tuple(self.up_stride),
                                    dtype=self.dtype,
                                    name="ConvTranspose_0")(out)
         else:

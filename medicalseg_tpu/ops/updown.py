@@ -26,7 +26,9 @@ from typing import Any, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["conv_s2d", "conv_transpose_d2s", "S2DConv", "D2SConvTranspose"]
+__all__ = ["conv_s2d", "conv_transpose_d2s", "conv_s2d_z",
+           "conv_transpose_d2s_z", "supports_s2d", "S2DConv",
+           "D2SConvTranspose"]
 
 
 def conv_s2d(x, kernel, bias=None):
@@ -74,13 +76,81 @@ def conv_transpose_d2s(x, kernel, bias=None):
     return out
 
 
+def supports_s2d(kernel, stride):
+    """Shapes the matmul reformulations cover: spatial (h, w) windows
+    must be non-overlapping (k == s); the z axis may overlap (any kz
+    for the down conv; kz >= sz == 1 for the transposed conv, the
+    anisotropic V-Net spine stages, e.g. kernel (4,2,2) stride
+    (1,2,2))."""
+    k, s = tuple(kernel), tuple(stride)
+    return k[1:] == s[1:]
+
+
+def conv_s2d_z(x, kernel, z_stride, bias=None):
+    """VALID conv with overlapping z window (kz != sz allowed) and
+    non-overlapping (h, w) windows, as space-to-depth + kz accumulated
+    MXU matmuls (one per z tap, contraction depth kh*kw*Ci each).
+
+    Equivalent to lax.conv_general_dilated(strides=(sz,kh,kw), VALID).
+    The reference's anisotropic spine stages use kernel [4,2,2] /
+    stride [1,2,2] (reference configs/mri_spine_seg/*_15k.yml:8-9);
+    the stock XLA conv runs them lane-starved at C=16.
+    """
+    kd, kh, kw, ci, co = kernel.shape
+    n, d, h, w, c = x.shape
+    assert c == ci, (x.shape, kernel.shape)
+    sz = int(z_stride)
+    do = (d - kd) // sz + 1
+    ho, wo = h // kh, w // kw
+    x = x[:, :, :ho * kh, :wo * kw]
+    xp = x.reshape(n, d, ho, kh, wo, kw, ci)
+    xp = xp.transpose(0, 1, 2, 4, 3, 5, 6)  # [N,D,Ho,Wo,kh,kw,Ci]
+    xp = xp.reshape(n, d, ho, wo, kh * kw * ci)
+    kmat = kernel.reshape(kd, kh * kw * ci, co)
+    out = None
+    for t in range(kd):
+        slab = xp[:, t:t + (do - 1) * sz + 1:sz]
+        part = slab @ kmat[t]
+        out = part if out is None else out + part
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def conv_transpose_d2s_z(x, kernel, bias=None):
+    """VALID transposed conv with overlapping z window (kz >= 1,
+    z stride 1) and non-overlapping (h, w) windows: one MXU matmul to
+    kz * kh * kw * Co lanes, depth-to-space on (h, w), shifted adds
+    over the kz overlapping z taps. Output z extent is d - 1 + kz
+    (lax.conv_transpose VALID shape math).
+    """
+    kd, kh, kw, ci, co = kernel.shape
+    n, d, h, w, c = x.shape
+    assert c == ci, (x.shape, kernel.shape)
+    kernel = kernel[::-1, ::-1, ::-1]
+    kmat = kernel.transpose(3, 0, 1, 2, 4).reshape(ci, kd * kh * kw * co)
+    out = x.reshape(-1, ci) @ kmat
+    out = out.reshape(n, d, h, w, kd, kh, kw, co)
+    out = out.transpose(0, 4, 1, 2, 5, 3, 6, 7)  # [N,kd,D,H,kh,W,kw,Co]
+    out = out.reshape(n, kd, d, h * kh, w * kw, co)
+    do = d - 1 + kd
+    acc = jnp.zeros((n, do, h * kh, w * kw, co), out.dtype)
+    for i in range(kd):
+        acc = acc.at[:, i:i + d].add(out[:, i])
+    if bias is not None:
+        acc = acc + bias
+    return acc
+
+
 class S2DConv(nn.Module):
-    """Drop-in for ``nn.Conv(features, k, strides=k, padding='VALID')``
-    when kernel_size == strides. Param tree (kernel [*k, Ci, Co] +
-    bias [Co]) matches nn.Conv — checkpoints interchange freely."""
+    """Drop-in for ``nn.Conv(features, k, strides=s, padding='VALID')``
+    when supports_s2d(k, s) (k == s, or z overlapping with any sz).
+    Param tree (kernel [*k, Ci, Co] + bias [Co]) matches nn.Conv —
+    checkpoints interchange freely."""
     features: int
     kernel_size: Tuple[int, int, int]
     dtype: Any = jnp.float32
+    strides: Any = None  # None -> kernel_size (non-overlapping)
 
     @nn.compact
     def __call__(self, x):
@@ -89,17 +159,25 @@ class S2DConv(nn.Module):
                             jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
-        return conv_s2d(x.astype(self.dtype), kernel.astype(self.dtype),
-                        bias.astype(self.dtype))
+        strides = (tuple(self.strides) if self.strides is not None
+                   else tuple(self.kernel_size))
+        if strides == tuple(self.kernel_size):
+            return conv_s2d(x.astype(self.dtype),
+                            kernel.astype(self.dtype),
+                            bias.astype(self.dtype))
+        return conv_s2d_z(x.astype(self.dtype), kernel.astype(self.dtype),
+                          strides[0], bias.astype(self.dtype))
 
 
 class D2SConvTranspose(nn.Module):
-    """Drop-in for ``nn.ConvTranspose(features, k, strides=k,
-    padding='VALID')`` when kernel_size == strides; params match
-    nn.ConvTranspose (kernel [*k, Ci, Co], bias [Co])."""
+    """Drop-in for ``nn.ConvTranspose(features, k, strides=s,
+    padding='VALID')`` when k == s, or when the z window overlaps with
+    stride 1 (anisotropic spine stages); params match nn.ConvTranspose
+    (kernel [*k, Ci, Co], bias [Co])."""
     features: int
     kernel_size: Tuple[int, int, int]
     dtype: Any = jnp.float32
+    strides: Any = None  # None -> kernel_size (non-overlapping)
 
     @nn.compact
     def __call__(self, x):
@@ -108,6 +186,13 @@ class D2SConvTranspose(nn.Module):
                             jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
-        return conv_transpose_d2s(x.astype(self.dtype),
-                                  kernel.astype(self.dtype),
-                                  bias.astype(self.dtype))
+        strides = (tuple(self.strides) if self.strides is not None
+                   else tuple(self.kernel_size))
+        if strides == tuple(self.kernel_size):
+            return conv_transpose_d2s(x.astype(self.dtype),
+                                      kernel.astype(self.dtype),
+                                      bias.astype(self.dtype))
+        assert strides[0] == 1, (self.kernel_size, strides)
+        return conv_transpose_d2s_z(x.astype(self.dtype),
+                                    kernel.astype(self.dtype),
+                                    bias.astype(self.dtype))

@@ -116,3 +116,111 @@ def test_vnet_s2d_anisotropic_falls_back():
         lambda v, a: s2d.apply(v, a, train=False))(variables, x)[0]
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_b),
                                atol=2e-4, rtol=1e-4)
+
+
+Z_CASES = [((4, 2, 2), (1, 2, 2)), ((2, 2, 2), (1, 2, 2)),
+           ((3, 2, 2), (2, 2, 2)), ((4, 1, 2), (1, 1, 2))]
+
+
+@pytest.mark.parametrize("k,s", Z_CASES)
+def test_conv_s2d_z_matches_xla(k, s):
+    """Overlapping-z down conv (the anisotropic spine stages, kernel
+    (4,2,2) stride (1,2,2)) as per-tap MXU matmuls == XLA conv."""
+    from medicalseg_tpu.ops.updown import conv_s2d_z, supports_s2d
+    assert supports_s2d(k, s)
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(2, 9, 8, 12, 16).astype(np.float32))
+    K = jnp.asarray(rng.randn(*k, 16, 32).astype(np.float32))
+    b = jnp.asarray(rng.randn(32).astype(np.float32))
+    ref = lax.conv_general_dilated(
+        x, K, s, "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+    got = conv_s2d_z(x, K, s[0], b)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
+
+
+@pytest.mark.parametrize("k", [(4, 2, 2), (2, 2, 2), (3, 1, 2)])
+def test_conv_transpose_d2s_z_matches_xla(k):
+    """Overlapping-z transposed conv (z stride 1) == lax.conv_transpose."""
+    from medicalseg_tpu.ops.updown import conv_transpose_d2s_z
+    s = (1, k[1], k[2])
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 5, 4, 6, 32).astype(np.float32))
+    K = jnp.asarray(rng.randn(*k, 32, 16).astype(np.float32))
+    b = jnp.asarray(rng.randn(16).astype(np.float32))
+    ref = lax.conv_transpose(
+        x, K, s, "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+    got = conv_transpose_d2s_z(x, K, b)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
+
+
+def test_updown_z_gradients_match_xla():
+    from medicalseg_tpu.ops.updown import (conv_s2d_z,
+                                           conv_transpose_d2s_z)
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(1, 8, 4, 4, 8).astype(np.float32))
+    K = jnp.asarray(rng.randn(4, 2, 2, 8, 16).astype(np.float32))
+
+    def loss_new(x, K):
+        return jnp.sum(conv_s2d_z(x, K, 1) ** 2)
+
+    def loss_ref(x, K):
+        y = lax.conv_general_dilated(
+            x, K, (1, 2, 2), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return jnp.sum(y ** 2)
+
+    gx_n, gk_n = jax.grad(loss_new, (0, 1))(x, K)
+    gx_r, gk_r = jax.grad(loss_ref, (0, 1))(x, K)
+    np.testing.assert_allclose(np.asarray(gx_n), np.asarray(gx_r),
+                               atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_n), np.asarray(gk_r),
+                               atol=1e-3, rtol=1e-4)
+
+    xt = jnp.asarray(rng.randn(1, 5, 4, 4, 16).astype(np.float32))
+
+    def loss_tn(x, K):
+        return jnp.sum(conv_transpose_d2s_z(x, K) ** 2)
+
+    def loss_tr(x, K):
+        y = lax.conv_transpose(
+            x, K, (1, 2, 2), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return jnp.sum(y ** 2)
+
+    Kt = jnp.asarray(rng.randn(4, 2, 2, 16, 8).astype(np.float32))
+    gx_n, gk_n = jax.grad(loss_tn, (0, 1))(xt, Kt)
+    gx_r, gk_r = jax.grad(loss_tr, (0, 1))(xt, Kt)
+    np.testing.assert_allclose(np.asarray(gx_n), np.asarray(gx_r),
+                               atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_n), np.asarray(gk_r),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_vnet_s2d_spine_geometry_matches_default():
+    """The FLAGSHIP spine transposition (kernel [[4,2,2],...], stride
+    [[1,2,2],...] — z-overlapping, spatial non-overlapping) now takes
+    the matmul path and must reproduce the default-conv logits from
+    the same param tree."""
+    ks = [[4, 2, 2], [2, 2, 2], [2, 2, 2], [2, 2, 2]]
+    ss = [[1, 2, 2], [1, 2, 2], [2, 2, 2], [2, 2, 2]]
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.rand(1, 12, 16, 16, 1).astype(np.float32))
+    base = VNet(num_classes=2, dropout=False, kernel_size=ks,
+                stride_size=ss, updown_conv="default")
+    s2d = VNet(num_classes=2, dropout=False, kernel_size=ks,
+               stride_size=ss, updown_conv="s2d")
+    variables = jax.jit(
+        lambda k, a: base.init(k, a, train=False))(jax.random.PRNGKey(2), x)
+    out_b = jax.jit(
+        lambda v, a: base.apply(v, a, train=False))(variables, x)[0]
+    out_s = jax.jit(
+        lambda v, a: s2d.apply(v, a, train=False))(variables, x)[0]
+    assert out_s.shape == out_b.shape
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_b),
+                               atol=2e-4, rtol=1e-4)
