@@ -146,7 +146,10 @@ def build_library(force=False):
         return lib
     base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
             src, "-o", lib]
-    for extra in (["-DML_WITH_DEFLATE", "-ldeflate"],
+    # -march=native first (vectorizes the resize inner loops); plain
+    # -O3 fallback keeps odd hosts working.
+    for extra in (["-march=native", "-DML_WITH_DEFLATE", "-ldeflate"],
+                  ["-DML_WITH_DEFLATE", "-ldeflate"],
                   ["-DML_WITH_ZLIB", "-lz"], []):
         try:
             subprocess.check_call(

@@ -290,54 +290,107 @@ inline uint16_t f32_to_bf16(float v) {
   return (uint16_t)(x >> 16);
 }
 
-// One output-D slice: window+lerp two input slices (D pass), then H
-// pass, then W pass. scratch: row0/row1 (h*w) + t2 (oh*w).
+// One output-D slice. Downsampling-aware: instead of windowing the
+// full h*w slab (the old D pass touched every input row even though
+// the H pass reads only ~2*oh of them), each output row fuses
+// D-lerp + H-lerp over exactly the 4 input rows it needs, in the SAME
+// float op order as the separate passes (bit-identical at -O3; with
+// -march=native the compiler may contract mul+add into FMA, shifting
+// results by <=1e-4 on the windowed [0,1] scale):
+//   a = (1-fd)*W(v00) + fd*W(v10)   // old D pass, row hlo
+//   b = (1-fd)*W(v01) + fd*W(v11)   // old D pass, row hhi
+//   t = (1-fh)*a + fh*b             // old H pass
+// For int16 voxels the HU window is a 64K-entry LUT (exact: the
+// window is a pure function of the voxel value). When 2*ow < w the
+// W pass inverts too: only the tap columns are computed.
+// scratch t1: 3*w floats (row a, row b, merged row).
 template <typename InT>
 void hu_resize_slice(const InT* in, int64_t d, int64_t h, int64_t w,
                      int a, const LerpAxis& axd, const LerpAxis& axh,
                      const LerpAxis& axw, float hu_min, float hu_max,
-                     float hu_nan, float* t1, float* t2, int oh, int ow,
-                     void* out, int out_kind, bool window) {
+                     float hu_nan, float* t1, int oh, int ow,
+                     void* out, int out_kind, bool window,
+                     const float* lut) {
   const float inv_range = 1.0f / (hu_max - hu_min);
   const int64_t hw = h * w;
   const InT* s0 = in + (int64_t)axd.lo[a] * hw;
   const InT* s1 = in + (int64_t)std::min<int64_t>(axd.lo[a] + 1, d - 1) * hw;
   const float fd = axd.frac[a];
   const float one_fd = 1.f - fd;
-  if (window) {
-    for (int64_t j = 0; j < hw; ++j) {
-      float v0 = hu_window((float)s0[j], hu_min, hu_max, hu_nan, inv_range);
-      float v1 = hu_window((float)s1[j], hu_min, hu_max, hu_nan, inv_range);
-      t1[j] = one_fd * v0 + fd * v1;
-    }
-  } else {
-    for (int64_t j = 0; j < hw; ++j)
-      t1[j] = one_fd * (float)s0[j] + fd * (float)s1[j];
-  }
-  // H pass: t2[b][w] = lerp over rows of t1
+  const bool cols = 2 * ow < w;  // downsampling: visit tap columns only
+  float* ta = t1;
+  float* tb = t1 + w;
+  float* tm = t1 + 2 * w;
+  const int64_t base = (int64_t)a * oh * ow;
+
+  auto wv = [&](InT x) -> float {
+    if (lut) return lut[(uint16_t)x];
+    if (window) return hu_window((float)x, hu_min, hu_max, hu_nan,
+                                 inv_range);
+    return (float)x;
+  };
+  auto store = [&](int64_t o, float v) {
+    if (out_kind == 0) ((float*)out)[o] = v;
+    else if (out_kind == 1) ((uint16_t*)out)[o] = f32_to_bf16(v);
+    else ((uint8_t*)out)[o] =
+        (uint8_t)(v < 0.f ? 0.f : (v > 255.f ? 255.f : v + 0.5f));
+  };
+
   for (int b = 0; b < oh; ++b) {
-    const float* r0 = t1 + (int64_t)axh.lo[b] * w;
-    const float* r1 = t1 + (int64_t)std::min<int64_t>(axh.lo[b] + 1,
-                                                      h - 1) * w;
+    const int64_t hlo = axh.lo[b];
+    const int64_t hhi = std::min<int64_t>(hlo + 1, h - 1);
+    const InT* r00 = s0 + hlo * w;
+    const InT* r01 = s0 + hhi * w;
+    const InT* r10 = s1 + hlo * w;
+    const InT* r11 = s1 + hhi * w;
     const float fh = axh.frac[b];
     const float one_fh = 1.f - fh;
-    float* dst = t2 + (int64_t)b * w;
-    for (int64_t c = 0; c < w; ++c) dst[c] = one_fh * r0[c] + fh * r1[c];
-  }
-  // W pass + store
-  const int64_t base = (int64_t)a * oh * ow;
-  for (int b = 0; b < oh; ++b) {
-    const float* src = t2 + (int64_t)b * w;
-    for (int c = 0; c < ow; ++c) {
-      int lo = axw.lo[c];
-      int hi = (int)std::min<int64_t>(lo + 1, w - 1);
-      float fw = axw.frac[c];
-      float v = (1.f - fw) * src[lo] + fw * src[hi];
-      int64_t o = base + (int64_t)b * ow + c;
-      if (out_kind == 0) ((float*)out)[o] = v;
-      else if (out_kind == 1) ((uint16_t*)out)[o] = f32_to_bf16(v);
-      else ((uint8_t*)out)[o] =
-          (uint8_t)(v < 0.f ? 0.f : (v > 255.f ? 255.f : v + 0.5f));
+    if (cols) {
+      for (int c = 0; c < ow; ++c) {
+        const int lo = axw.lo[c];
+        const int hi = (int)std::min<int64_t>(lo + 1, w - 1);
+        const float fw = axw.frac[c];
+        float al = one_fd * wv(r00[lo]) + fd * wv(r10[lo]);
+        float bl = one_fd * wv(r01[lo]) + fd * wv(r11[lo]);
+        float ah = one_fd * wv(r00[hi]) + fd * wv(r10[hi]);
+        float bh = one_fd * wv(r01[hi]) + fd * wv(r11[hi]);
+        float vlo = one_fh * al + fh * bl;
+        float vhi = one_fh * ah + fh * bh;
+        store(base + (int64_t)b * ow + c, (1.f - fw) * vlo + fw * vhi);
+      }
+    } else {
+      if (lut) {
+        for (int64_t c = 0; c < w; ++c)
+          ta[c] = one_fd * lut[(uint16_t)r00[c]] +
+                  fd * lut[(uint16_t)r10[c]];
+        for (int64_t c = 0; c < w; ++c)
+          tb[c] = one_fd * lut[(uint16_t)r01[c]] +
+                  fd * lut[(uint16_t)r11[c]];
+      } else if (window) {
+        for (int64_t c = 0; c < w; ++c)
+          ta[c] = one_fd * hu_window((float)r00[c], hu_min, hu_max,
+                                     hu_nan, inv_range) +
+                  fd * hu_window((float)r10[c], hu_min, hu_max, hu_nan,
+                                 inv_range);
+        for (int64_t c = 0; c < w; ++c)
+          tb[c] = one_fd * hu_window((float)r01[c], hu_min, hu_max,
+                                     hu_nan, inv_range) +
+                  fd * hu_window((float)r11[c], hu_min, hu_max, hu_nan,
+                                 inv_range);
+      } else {
+        for (int64_t c = 0; c < w; ++c)
+          ta[c] = one_fd * (float)r00[c] + fd * (float)r10[c];
+        for (int64_t c = 0; c < w; ++c)
+          tb[c] = one_fd * (float)r01[c] + fd * (float)r11[c];
+      }
+      for (int64_t c = 0; c < w; ++c) tm[c] = one_fh * ta[c] + fh * tb[c];
+      for (int c = 0; c < ow; ++c) {
+        const int lo = axw.lo[c];
+        const int hi = (int)std::min<int64_t>(lo + 1, w - 1);
+        const float fw = axw.frac[c];
+        store(base + (int64_t)b * ow + c,
+              (1.f - fw) * tm[lo] + fw * tm[hi]);
+      }
     }
   }
 }
@@ -350,17 +403,30 @@ void hu_resize_run(const InT* in, int64_t d, int64_t h, int64_t w,
   LerpAxis axd = make_axis((int)d, od);
   LerpAxis axh = make_axis((int)h, oh);
   LerpAxis axw = make_axis((int)w, ow);
+  // int16 HU window as an exact value->windowed LUT
+  std::vector<float> lut;
+  if (window && sizeof(InT) == 2) {
+    const float inv_range = 1.0f / (hu_max - hu_min);
+    lut.resize(65536);
+    for (int i = 0; i < 65536; ++i) {
+      int16_t s;
+      uint16_t u = (uint16_t)i;
+      memcpy(&s, &u, 2);
+      lut[i] = hu_window((float)s, hu_min, hu_max, hu_nan, inv_range);
+    }
+  }
+  const float* lut_p = lut.empty() ? nullptr : lut.data();
   if (nthreads < 1) nthreads = 1;
   if (nthreads > od) nthreads = od;
   std::atomic<int> next(0);
   auto work = [&] {
-    std::vector<float> t1((size_t)h * w), t2((size_t)oh * w);
+    std::vector<float> t1((size_t)3 * w);
     for (;;) {
       int a = next.fetch_add(1);
       if (a >= od) return;
       hu_resize_slice(in, d, h, w, a, axd, axh, axw, hu_min, hu_max,
-                      hu_nan, t1.data(), t2.data(), oh, ow, out,
-                      out_kind, window);
+                      hu_nan, t1.data(), oh, ow, out,
+                      out_kind, window, lut_p);
     }
   };
   if (nthreads == 1) {
