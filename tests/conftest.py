@@ -36,7 +36,26 @@ except Exception:
     pass
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full", action="store_true", default=False,
+        help="run the full tier including slow-marked tests "
+             "(~65 min on this 1-core box); the default smoke tier "
+             "is ~9 min")
+
+
 def pytest_configure(config):
     config.addinivalue_line(
-        "markers", "slow: multi-minute compile tests (full VNet e2e); "
-        "run by default, deselect with -m 'not slow'")
+        "markers", "slow: multi-minute compile/e2e tests; excluded from "
+        "the default smoke tier, included with --full")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--full"):
+        return
+    import pytest
+    skip = pytest.mark.skip(
+        reason="slow tier: run with --full (smoke tier is the default)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -61,6 +61,7 @@ def test_evaluate_sliding_window(val_dataset, state, tmp_path):
     assert "mdice" in result
 
 
+@pytest.mark.slow
 def test_evaluate_device_sharded_matches_serial(val_dataset, state,
                                                 tmp_path):
     """Round 2 (VERDICT #5): eval with volumes sharded over the mesh's
@@ -93,6 +94,7 @@ def test_evaluate_device_sharded_matches_serial(val_dataset, state,
     np.testing.assert_array_equal(p_serial, p_shard)
 
 
+@pytest.mark.slow
 def test_evaluate_sliding_window_sharded_matches_serial(val_dataset,
                                                        state, tmp_path):
     """r2 #8a: --sw_num eval shards volume groups over the mesh's data

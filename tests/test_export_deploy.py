@@ -95,6 +95,7 @@ def test_quantize_roundtrip():
     assert (np.abs(w - wq) <= absmax / 254 + 1e-7).all()
 
 
+@pytest.mark.slow
 def test_predictor_int8(exported, tmp_path):
     """--precision int8 serves from weight-quantized parameters and
     agrees with the fp32 path on nearly every voxel (the TRT-int8
@@ -150,6 +151,7 @@ def _iter_leaf_dicts(tree):
             yield from _iter_leaf_dicts(v)
 
 
+@pytest.mark.slow
 def test_predictor_shape_buckets(exported, tmp_path):
     """Variable-size volumes route to the smallest fitting bucket
     (reference TRT auto-tuned dynamic shapes, infer.py:178-224): a 16^3

@@ -64,6 +64,7 @@ def test_reverse_transform_roundtrip():
     assert out.shape == (1, 12, 14, 16, 2)
 
 
+@pytest.mark.slow
 def test_predictor_raw_nifti_input(tmp_path):
     """Raw .nii.gz served straight: HU-norm + resample on device
     (reference deploy/python/infer.py:378-416)."""

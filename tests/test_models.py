@@ -52,6 +52,7 @@ def test_vnet_deepsup_heads():
         assert o.shape == (1, 32, 32, 32, 3)
 
 
+@pytest.mark.slow
 def test_vnet_train_mode_mutates_batch_stats():
     model = VNet(in_channels=1, num_classes=2)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 16, 1))

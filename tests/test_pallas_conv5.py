@@ -244,6 +244,7 @@ def test_conv5_space_sharded_partitioning():
                                    atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_vnet_pallas_space_sharded_matches_default():
     """VNet(head/mid='pallas') under a space=2 mesh == default convs on
     the same params (VERDICT r2 #5: the production config must hold

@@ -18,6 +18,7 @@ def test_mesh_shapes():
     assert mesh2.shape["data"] * 2 == jax.device_count()
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(jax.device_count())

@@ -1,4 +1,5 @@
 """Per-block rematerialization must not change the numerics."""
+import pytest
 import numpy as np
 
 import jax
@@ -7,6 +8,7 @@ import jax.numpy as jnp
 from medicalseg_tpu.models import VNet
 
 
+@pytest.mark.slow
 def test_remat_grads_match():
     import optax
     from medicalseg_tpu.core.state import TrainState, make_train_step

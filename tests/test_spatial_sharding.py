@@ -2,6 +2,7 @@
 on the H axis must equal the unsharded result (XLA inserts the halo
 exchanges) — the volumetric analogue of context parallelism (SURVEY §5).
 """
+import pytest
 import numpy as np
 
 import jax
@@ -60,6 +61,7 @@ def test_spatial_sharded_train_step_runs():
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
 def test_space_sharded_whole_volume_eval_matches_single_device():
     """VERDICT #6/weak-8: whole-volume eval through core.evaluate with a
     space=2 mesh (H axis sharded, XLA halo exchanges) must match the

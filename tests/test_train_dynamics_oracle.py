@@ -188,6 +188,7 @@ def test_five_iteration_loss_trajectory(aligned_pair):
         atol=5e-3, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_twentyfive_iteration_loss_trajectory(aligned_pair):
     """Round-3 longer-horizon alignment (VERDICT #1): 25 SGD-momentum
     steps track the torch oracle. Per-step relative drift is ~1e-3 and
