@@ -160,9 +160,35 @@ def _make_preprocessed_pipeline_fn(size=128):
     return state.variables, pipeline
 
 
+def _ct_phantom(raw_shape, seed):
+    """Realistic int16 CT phantom: air background, body ellipsoid of
+    soft tissue with smooth internal structure, a bone-ish shell, and
+    correlated noise. Its .nii.gz compresses ~2.4:1 like real chest CT;
+    the previous uniform-noise volume was near-incompressible (1.25:1),
+    which both misrepresents scanner output and maximizes the
+    single-core inflate cost the niigz lane measures."""
+    d, h, w = raw_shape
+    rng = np.random.RandomState(seed)
+    yy, xx = np.ogrid[:h, :w]
+    r = np.sqrt(((yy - h / 2) / (0.42 * h)) ** 2 +
+                ((xx - w / 2) / (0.35 * w)) ** 2)
+    body = (r < 1.0)[None]
+    vol = np.full(raw_shape, -1000.0, np.float32)
+    coarse = rng.standard_normal(
+        (max(d // 4, 1), max(h // 8, 1), max(w // 8, 1))).astype(
+            np.float32)
+    smooth = np.kron(coarse, np.ones((4, 8, 8), np.float32))[:d, :h, :w]
+    vol += body * (1040.0 + 120.0 * smooth)
+    vol += ((r > 0.92) & (r < 1.0))[None] * 700.0
+    vol += rng.standard_normal(raw_shape).astype(np.float32) * 12.0 * \
+        (body * 0.8 + 0.2)
+    return np.clip(vol, -1024, 3071).astype(np.int16)
+
+
 def _write_bench_volumes(tmpdir, n, raw_shape, niigz):
     """Synthesize raw CT volumes on disk: .npy always (f32, the phase-N
-    interchange format), .nii.gz as int16 HU (what CT scanners emit)."""
+    interchange format), .nii.gz as int16 HU phantoms (what CT scanners
+    emit — see _ct_phantom)."""
     from medicalseg_tpu.io import nifti
     rng = np.random.RandomState(0)
     npy_paths, nii_paths = [], []
@@ -171,9 +197,9 @@ def _write_bench_volumes(tmpdir, n, raw_shape, niigz):
         p = os.path.join(tmpdir, "vol{}.npy".format(i))
         np.save(p, vol)
         npy_paths.append(p)
-        if niigz:
-            pn = os.path.join(tmpdir, "vol{}.nii.gz".format(i))
-            nifti.write(pn, vol.astype(np.int16))
+        if niigz and i < 2:  # 2 distinct phantoms; compressing 105 MB
+            pn = os.path.join(tmpdir, "vol{}.nii.gz".format(i))  # costs
+            nifti.write(pn, _ct_phantom(raw_shape, i))  # ~20 s each
             nii_paths.append(pn)
     return npy_paths, nii_paths
 
@@ -249,10 +275,18 @@ def bench_pipeline_disk(n_volumes=20, raw_shape=(200, 512, 512),
                     return hu_resize_array(np.ascontiguousarray(raw),
                                            tsize, out_dtype="bfloat16")
 
+            warm = decode_nii(nii_paths[0])  # page cache + lib init
             t0 = time.time()
             warm = decode_nii(nii_paths[0])
-            breakdown["nii_host_prep_ms"] = round(
-                (time.time() - t0) * 1e3, 1)
+            prep_s = time.time() - t0
+            breakdown["nii_host_prep_ms"] = round(prep_s * 1e3, 1)
+            # Single-core inflate ceiling: decode emits the raw voxel
+            # bytes; DEFLATE is sequential, so output_bytes/prep_time
+            # bounds vol/s on a 1-core host no matter the overlap.
+            raw_mb = 2 * np.prod(raw_shape) / 1e6  # int16 payload
+            breakdown["nii_gz_mb"] = round(
+                os.path.getsize(nii_paths[0]) / 1e6, 1)
+            breakdown["nii_inflate_out_mbps"] = round(raw_mb / prep_s, 1)
             _sync(pipeline(variables, jax.device_put(warm)))
             pf = DevicePrefetcher(
                 (nii_paths[i % len(nii_paths)]

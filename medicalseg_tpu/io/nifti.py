@@ -43,8 +43,12 @@ class NiftiHeaderError(ValueError):
     pass
 
 
-def _open(path, mode="rb"):
+def _open(path, mode="rb", compresslevel=6):
+    # Write level 6 (ITK/scanner default), not the gzip-module default 9:
+    # level 9 triples compress time on smooth CT for ~2% size.
     if str(path).endswith(".gz"):
+        if "w" in mode:
+            return gzip.open(path, mode, compresslevel=compresslevel)
         return gzip.open(path, mode)
     return open(path, mode)
 
