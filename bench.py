@@ -356,7 +356,7 @@ def bench_pipeline_batched(batch=4, n_volumes=20,
 
 
 def bench_train(batch=1, iters=10, remat=True, steps_per_dispatch=1,
-                size=128):
+                size=128, layout_policy="auto"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -370,7 +370,8 @@ def bench_train(batch=1, iters=10, remat=True, steps_per_dispatch=1,
 
     conv = "pallas" if jax.default_backend() == "tpu" else "default"
     model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
-                 remat=remat, head_conv=conv, mid_conv=conv)
+                 remat=remat, head_conv=conv, mid_conv=conv,
+                 layout_policy=layout_policy)
     losses = {"types": [MixedLoss([CrossEntropyLoss(), DiceLoss()],
                                   [1.0, 1.0])], "coef": [1]}
     schedule = optax.polynomial_schedule(1e-3, 0.0, 0.9, 15000)

@@ -26,7 +26,7 @@ from .layers import (Activation, BatchNorm3D, ChannelDropout, ConvBNAct,
                      NConvs)
 
 
-def boundary_layouts(x_shape, ks, ss, pallas):
+def boundary_layouts(x_shape, ks, ss, pallas, all_kl=False):
     """Per-stage transition-boundary layout: True = the Pallas kernel
     layout [N, D, C, H, W], False = NDHWC.
 
@@ -44,6 +44,13 @@ def boundary_layouts(x_shape, ks, ss, pallas):
     level's flag."""
     if not pallas:
         return [False] * 5
+    if all_kl:
+        # layout_policy='all_kl': every stage boundary stays in the
+        # kernel layout; the transitions' KL s2d matmuls (ops/updown.py
+        # *_kl) make the whole trunk flip-free, so the W >= 256 gate
+        # below (which exists to avoid boundary transposes in the
+        # NDHWC-train regime) does not apply.
+        return [True] * 5
     w = x_shape[3]
     flags = [w >= 256 and w % 128 == 0]
     for i in range(4):
@@ -147,14 +154,21 @@ class DownTransition(nn.Module):
     out_kl: bool = False  # return the kernel layout
     updown_impl: str = "default"  # 's2d': window==stride conv as one
     # space-to-depth MXU matmul (ops/updown.py); param-tree identical
+    kl_updown: bool = False  # run the s2d matmul in the kernel layout
+    # when the boundary is KL (layout_policy='all_kl'); opt-in so the
+    # measured legacy paths stay byte-identical
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         from ..ops import pallas_conv5 as pc
+        from ..ops.updown import supports_s2d
+        out_channels = 2 * self.in_channels
+        if (self.kl_updown and self.in_kl and
+                self.updown_impl == "s2d" and
+                supports_s2d(self.down_kernel, self.down_stride)):
+            return self._kl_transition(x, out_channels, train)
         if self.in_kl:
             x = pc.from_kl(x)
-        out_channels = 2 * self.in_channels
-        from ..ops.updown import supports_s2d
         if (self.updown_impl == "s2d" and
                 supports_s2d(self.down_kernel, self.down_stride)):
             from ..ops.updown import S2DConv
@@ -194,6 +208,47 @@ class DownTransition(nn.Module):
         out = Activation(elu=self.elu, dtype=self.dtype)(out)
         return pc.pin_kl(pc.to_kl(out)) if self.out_kl else out
 
+    def _kl_transition(self, x, out_channels, train):
+        """Fully kernel-layout transition: the s2d down matmul, BN,
+        activation, dropout, and nConv stack all consume/produce
+        [N, D, C, H, W] — no NDHWC round trip at the block boundary
+        (the round-3 profile measured ~16 ms per boundary transpose at
+        cube-scale stage 0). Explicit submodule names keep the param
+        tree identical to the NDHWC branch."""
+        from ..ops import pallas_conv5 as pc
+        from ..ops.updown import S2DConv
+        down = S2DConv(out_channels, tuple(self.down_kernel),
+                       strides=tuple(self.down_stride), dtype=self.dtype,
+                       layout="kl", name="Conv_0")(x)
+        down = BatchNorm3D(dtype=self.dtype, channel_axis=2,
+                           name="BatchNorm3D_0")(down, train)
+        down = Activation(elu=self.elu, dtype=self.dtype,
+                          channel_axis=2, name="Activation_0")(down)
+        out = down
+        if self.dropout:
+            out = ChannelDropout(channel_axis=2, name="ChannelDropout_0")(
+                out, deterministic=not train)
+        x_shape = pc._kl_to_x_shape(out.shape)
+        if (self.conv_impl == "pallas" and
+                pc.head_eligible(x_shape, out_channels, out_channels,
+                                 dtype=out.dtype)):
+            outk = NConvs(out_channels, self.n_convs, elu=self.elu,
+                          dtype=self.dtype, conv_impl="pallas",
+                          layout="kl", name="NConvs_0")(out, train)
+            outk = outk + down
+            outk = Activation(elu=self.elu, dtype=self.dtype,
+                              channel_axis=2, name="Activation_1")(outk)
+            return pc.pin_kl(outk) if self.out_kl else pc.from_kl(outk)
+        # stack ineligible for the Pallas/KL form at this traced shape:
+        # finish in NDHWC (correctness fallback; tiny test geometries)
+        outn = NConvs(out_channels, self.n_convs, elu=self.elu,
+                      dtype=self.dtype, conv_impl=self.conv_impl,
+                      name="NConvs_0")(pc.from_kl(out), train)
+        outn = outn + pc.from_kl(down)
+        outn = Activation(elu=self.elu, dtype=self.dtype,
+                          name="Activation_1")(outn)
+        return pc.pin_kl(pc.to_kl(outn)) if self.out_kl else outn
+
 
 class UpTransition(nn.Module):
     """Transposed-conv upsample + skip concat + residual nConv stack
@@ -213,10 +268,19 @@ class UpTransition(nn.Module):
     out_kl: bool = False   # return the kernel layout
     updown_impl: str = "default"  # 's2d': window==stride transposed
     # conv as one MXU matmul + depth-to-space (ops/updown.py)
+    kl_updown: bool = False  # see DownTransition.kl_updown
 
     @nn.compact
     def __call__(self, x, skipx, train: bool = True):
         from ..ops import pallas_conv5 as pc
+        from ..ops.updown import supports_s2d
+        if (self.kl_updown and self.in_kl and
+                self.updown_impl == "s2d" and
+                supports_s2d(self.up_kernel, self.up_stride) and
+                (tuple(self.up_kernel) == tuple(self.up_stride) or
+                 self.up_stride[0] == 1) and
+                min(x.shape[1], x.shape[3], x.shape[4]) >= 1):
+            return self._kl_transition(x, skipx, train)
         out = pc.from_kl(x) if self.in_kl else x
         if self.dropout:
             out = ChannelDropout()(out, deterministic=not train)
@@ -282,6 +346,56 @@ class UpTransition(nn.Module):
         out = out + xcat
         out = Activation(elu=self.elu, dtype=self.dtype)(out)
         return pc.pin_kl(pc.to_kl(out)) if self.out_kl else out
+
+    def _kl_transition(self, x, skipx, train):
+        """Fully kernel-layout transition: dropout, the d2s up matmul,
+        BN, activation, skip concat, and nConv stack all on
+        [N, D, C, H, W] tensors — no NDHWC round trip. Explicit names
+        keep the param tree identical to the NDHWC branch."""
+        from ..ops import pallas_conv5 as pc
+        from ..ops.updown import D2SConvTranspose
+        out = x
+        if self.dropout:
+            out = ChannelDropout(channel_axis=2, name="ChannelDropout_0")(
+                out, deterministic=not train)
+        skip = skipx
+        if self.dropout2:
+            skip = ChannelDropout(
+                channel_axis=2 if self.skip_kl else -1,
+                name="ChannelDropout_1")(skip, deterministic=not train)
+        out = D2SConvTranspose(self.out_channels // 2,
+                               tuple(self.up_kernel),
+                               strides=tuple(self.up_stride),
+                               dtype=self.dtype, layout="kl",
+                               name="ConvTranspose_0")(out)
+        out = BatchNorm3D(dtype=self.dtype, channel_axis=2,
+                          name="BatchNorm3D_0")(out, train)
+        out = Activation(elu=self.elu, dtype=self.dtype, channel_axis=2,
+                         name="Activation_0")(out)
+        skipk = (skip if self.skip_kl else pc.to_kl(skip)).astype(
+            self.dtype)
+        xcatk = jnp.concatenate([pc.pin_kl(out), skipk], axis=2)
+        cat_shape = pc._kl_to_x_shape(xcatk.shape)
+        if (self.conv_impl == "pallas" and
+                pc.head_eligible(cat_shape, self.out_channels,
+                                 self.out_channels, dtype=out.dtype)):
+            outk = NConvs(self.out_channels, self.n_convs, elu=self.elu,
+                          dtype=self.dtype, conv_impl="pallas",
+                          layout="kl", name="NConvs_0")(xcatk, train)
+            outk = outk + xcatk
+            outk = Activation(elu=self.elu, dtype=self.dtype,
+                              channel_axis=2, name="Activation_1")(outk)
+            return (pc.pin_kl(outk) if self.out_kl else
+                    pc.from_kl(outk))
+        # stack ineligible at this traced shape: finish in NDHWC
+        xcat = pc.from_kl(xcatk)
+        outn = NConvs(self.out_channels, self.n_convs, elu=self.elu,
+                      dtype=self.dtype, conv_impl=self.conv_impl,
+                      name="NConvs_0")(xcat, train)
+        outn = outn + xcat
+        outn = Activation(elu=self.elu, dtype=self.dtype,
+                          name="Activation_1")(outn)
+        return pc.pin_kl(pc.to_kl(outn)) if self.out_kl else outn
 
 
 class OutputTransition(nn.Module):
@@ -363,6 +477,12 @@ class VNet(nn.Module):
     dropout: bool = True  # False disables the mid-stage ChannelDropouts
     # (the reference's torch-alignment harness runs with dropout off,
     # reference vnet.py:285-404)
+    layout_policy: str = "auto"  # 'auto' | 'all_kl' — 'all_kl' keeps
+    # every stage boundary in the Pallas kernel layout [N, D, C, H, W]
+    # (train AND eval), with the transitions' KL s2d matmuls making the
+    # trunk layout-flip-free; needs head_conv=mid_conv='pallas' and
+    # updown_conv='s2d'. 'auto' keeps the measured round-3 gating
+    # (NDHWC training below W=256, KL at eval/volume scale).
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -384,39 +504,42 @@ class VNet(nn.Module):
         stem = "pallas" if self.head_conv == "pallas" else "default"
         mc = self.mid_conv
         klb = boundary_layouts(x.shape, ks, ss,
-                               stem == "pallas" and mc == "pallas")
+                               stem == "pallas" and mc == "pallas",
+                               all_kl=(self.layout_policy == "all_kl" and
+                                       self.updown_conv == "s2d"))
+        kl_ud = self.layout_policy == "all_kl"
         out16 = Input(self.in_channels, self.elu, self.dtype, 16, stem,
                       out_kl=klb[0],
                       name="InputTransition_0")(x, train)
         out32 = Down(16, 1, self.elu, False, ss[0], ks[0], self.dtype,
-                     mc, in_kl=klb[0], out_kl=klb[1], updown_impl=self.updown_conv,
+                     mc, in_kl=klb[0], out_kl=klb[1], updown_impl=self.updown_conv, kl_updown=kl_ud,
                      name="DownTransition_0")(out16, train)
         out64 = Down(32, 2, self.elu, False, ss[1], ks[1], self.dtype,
-                     mc, in_kl=klb[1], out_kl=klb[2], updown_impl=self.updown_conv,
+                     mc, in_kl=klb[1], out_kl=klb[2], updown_impl=self.updown_conv, kl_updown=kl_ud,
                      name="DownTransition_1")(out32, train)
         do = self.dropout
         out128 = Down(64, 3, self.elu, do, ss[2], ks[2], self.dtype,
-                      mc, in_kl=klb[2], out_kl=klb[3], updown_impl=self.updown_conv,
+                      mc, in_kl=klb[2], out_kl=klb[3], updown_impl=self.updown_conv, kl_updown=kl_ud,
                       name="DownTransition_2")(out64, train)
         out256 = Down(128, 2, self.elu, do, ss[3], ks[3], self.dtype,
-                      mc, in_kl=klb[3], out_kl=klb[4], updown_impl=self.updown_conv,
+                      mc, in_kl=klb[3], out_kl=klb[4], updown_impl=self.updown_conv, kl_updown=kl_ud,
                       name="DownTransition_3")(out128, train)
         out = Up(256, 256, 2, self.elu, do, do, ss[3], ks[3],
                  self.dtype, mc, in_kl=klb[4], skip_kl=klb[3],
                  out_kl=klb[3], updown_impl=self.updown_conv,
-                 name="UpTransition_0")(out256, out128, train)
+                 kl_updown=kl_ud, name="UpTransition_0")(out256, out128, train)
         out = Up(256, 128, 2, self.elu, do, do, ss[2], ks[2],
                  self.dtype, mc, in_kl=klb[3], skip_kl=klb[2],
                  out_kl=klb[2], updown_impl=self.updown_conv,
-                 name="UpTransition_1")(out, out64, train)
+                 kl_updown=kl_ud, name="UpTransition_1")(out, out64, train)
         out = Up(128, 64, 1, self.elu, False, False, ss[1], ks[1],
                  self.dtype, mc, in_kl=klb[2], skip_kl=klb[1],
                  out_kl=klb[1], updown_impl=self.updown_conv,
-                 name="UpTransition_2")(out, out32, train)
+                 kl_updown=kl_ud, name="UpTransition_2")(out, out32, train)
         out = Up(64, 32, 1, self.elu, False, False, ss[0], ks[0],
                  self.dtype, mc, in_kl=klb[1], skip_kl=klb[0],
                  out_kl=klb[0], updown_impl=self.updown_conv,
-                 name="UpTransition_3")(out, out16, train)
+                 kl_updown=kl_ud, name="UpTransition_3")(out, out16, train)
         out = Output(self.num_classes, self.elu, self.dtype,
                      self.head_conv, in_kl=klb[0],
                      name="OutputTransition_0")(out, train)

@@ -46,6 +46,7 @@ class VNetDeepSup(nn.Module):
     mid_conv: str = "default"
     updown_conv: str = "s2d"  # see vnet.VNet.updown_conv
     remat: bool = False  # per-block rematerialization (HBM <-> FLOPs)
+    layout_policy: str = "auto"  # 'auto' | 'all_kl' — see vnet.VNet
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -70,7 +71,10 @@ class VNetDeepSup(nn.Module):
 
         from ..ops import pallas_conv5 as pc
         klb = boundary_layouts(x.shape, ks, ss,
-                               stem == "pallas" and mc == "pallas")
+                               stem == "pallas" and mc == "pallas",
+                               all_kl=(self.layout_policy == "all_kl" and
+                                       self.updown_conv == "s2d"))
+        kl_ud = self.layout_policy == "all_kl"
 
         def head(h, kl, name):
             # aux 3^3 conv head; runs in the compute dtype — the
@@ -91,39 +95,43 @@ class VNetDeepSup(nn.Module):
                       name="InputTransition_0")(x, train)
         out32 = Down(16, 1, self.elu, False, ss[0], ks[0],
                      self.dtype, mc, in_kl=klb[0], out_kl=klb[1],
-                     updown_impl=self.updown_conv, name="DownTransition_0")(out16, train)
+                     updown_impl=self.updown_conv, kl_updown=kl_ud,
+                     name="DownTransition_0")(out16, train)
         out64 = Down(32, 2, self.elu, False, ss[1], ks[1],
                      self.dtype, mc, in_kl=klb[1], out_kl=klb[2],
-                     updown_impl=self.updown_conv, name="DownTransition_1")(out32, train)
+                     updown_impl=self.updown_conv, kl_updown=kl_ud,
+                     name="DownTransition_1")(out32, train)
         out128 = Down(64, 3, self.elu, True, ss[2], ks[2],
                       self.dtype, mc, in_kl=klb[2], out_kl=klb[3],
-                      updown_impl=self.updown_conv, name="DownTransition_2")(out64, train)
+                      updown_impl=self.updown_conv, kl_updown=kl_ud,
+                     name="DownTransition_2")(out64, train)
         out256 = Down(128, 2, self.elu, True, ss[3], ks[3],
                       self.dtype, mc, in_kl=klb[3], out_kl=klb[4],
-                      updown_impl=self.updown_conv, name="DownTransition_3")(out128, train)
+                      updown_impl=self.updown_conv, kl_updown=kl_ud,
+                     name="DownTransition_3")(out128, train)
 
         out = Up(256, 256, 2, self.elu, True, True, ss[3], ks[3],
                  self.dtype, mc, in_kl=klb[4], skip_kl=klb[3],
                  out_kl=klb[3],
-                 updown_impl=self.updown_conv,
+                 updown_impl=self.updown_conv, kl_updown=kl_ud,
                  name="UpTransition_0")(out256, out128, train)
         d1 = _upsample_trilinear(head(out, klb[3], "Conv_0"), size)
         out = Up(256, 128, 2, self.elu, True, True, ss[2], ks[2],
                  self.dtype, mc, in_kl=klb[3], skip_kl=klb[2],
                  out_kl=klb[2],
-                 updown_impl=self.updown_conv,
+                 updown_impl=self.updown_conv, kl_updown=kl_ud,
                  name="UpTransition_1")(out, out64, train)
         d2 = _upsample_trilinear(head(out, klb[2], "Conv_1"), size)
         out = Up(128, 64, 1, self.elu, False, False, ss[1], ks[1],
                  self.dtype, mc, in_kl=klb[2], skip_kl=klb[1],
                  out_kl=klb[1],
-                 updown_impl=self.updown_conv,
+                 updown_impl=self.updown_conv, kl_updown=kl_ud,
                  name="UpTransition_2")(out, out32, train)
         d3 = _upsample_trilinear(head(out, klb[1], "Conv_2"), size)
         out = Up(64, 32, 1, self.elu, False, False, ss[0], ks[0],
                  self.dtype, mc, in_kl=klb[1], skip_kl=klb[0],
                  out_kl=klb[0],
-                 updown_impl=self.updown_conv,
+                 updown_impl=self.updown_conv, kl_updown=kl_ud,
                  name="UpTransition_3")(out, out16, train)
         out = Output(self.num_classes, self.elu, self.dtype,
                      self.head_conv, in_kl=klb[0],

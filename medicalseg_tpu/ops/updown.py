@@ -27,7 +27,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 __all__ = ["conv_s2d", "conv_transpose_d2s", "conv_s2d_z",
-           "conv_transpose_d2s_z", "supports_s2d", "S2DConv",
+           "conv_transpose_d2s_z", "conv_s2d_kl",
+           "conv_transpose_d2s_kl", "conv_s2d_z_kl",
+           "conv_transpose_d2s_z_kl", "supports_s2d", "S2DConv",
            "D2SConvTranspose"]
 
 
@@ -142,6 +144,89 @@ def conv_transpose_d2s_z(x, kernel, bias=None):
     return acc
 
 
+# ----------------------------------------------------------------------
+# Kernel-layout [N, D, C, H, W] variants: the all-KL VNet trunk feeds
+# the transitions kernel-layout tensors directly (models/vnet.py
+# layout_policy='all_kl'), so the up/down matmuls must not round-trip
+# through NDHWC — the round-3 profile measured ~16 ms per boundary
+# transpose at stage-0 cube scale. The contraction flattens
+# (kd, kh, kw, ci) in the same order as the NDHWC path, so numerics
+# match it exactly; the channel-interior output order is expressed to
+# XLA as einsum output permutations, which fold into the dot's output
+# layout instead of materializing copies.
+# ----------------------------------------------------------------------
+def conv_s2d_kl(xk, kernel, bias=None):
+    """conv_s2d on a kernel-layout tensor: [N, D, Ci, H, W] ->
+    [N, D/kd, Co, H/kh, W/kw]."""
+    kd, kh, kw, ci, co = kernel.shape
+    n, d, c, h, w = xk.shape
+    assert c == ci, (xk.shape, kernel.shape)
+    do, ho, wo = d // kd, h // kh, w // kw
+    xp = xk[:, :do * kd, :, :ho * kh, :wo * kw]
+    xp = xp.reshape(n, do, kd, ci, ho, kh, wo, kw)
+    # contraction axes ordered (kd, kh, kw, ci) to match conv_s2d
+    out = jnp.einsum("napcbqdr,pqrco->naobd",
+                     xp, kernel)
+    if bias is not None:
+        out = out + bias.reshape(1, 1, co, 1, 1)
+    return out
+
+
+def conv_transpose_d2s_kl(xk, kernel, bias=None):
+    """conv_transpose_d2s on a kernel-layout tensor: [N, D, Ci, H, W]
+    -> [N, D*kd, Co, H*kh, W*kw]."""
+    kd, kh, kw, ci, co = kernel.shape
+    n, d, c, h, w = xk.shape
+    assert c == ci, (xk.shape, kernel.shape)
+    kernel = kernel[::-1, ::-1, ::-1]
+    out = jnp.einsum("ndchw,ijlco->ndiohjwl", xk, kernel)
+    out = out.reshape(n, d * kd, co, h * kh, w * kw)
+    if bias is not None:
+        out = out + bias.reshape(1, 1, co, 1, 1)
+    return out
+
+
+def conv_s2d_z_kl(xk, kernel, z_stride, bias=None):
+    """conv_s2d_z on a kernel-layout tensor (overlapping z window,
+    non-overlapping h/w windows): [N, D, Ci, H, W] ->
+    [N, (D-kd)//sz+1, Co, H/kh, W/kw]."""
+    kd, kh, kw, ci, co = kernel.shape
+    n, d, c, h, w = xk.shape
+    assert c == ci, (xk.shape, kernel.shape)
+    sz = int(z_stride)
+    do = (d - kd) // sz + 1
+    ho, wo = h // kh, w // kw
+    xp = xk[:, :, :, :ho * kh, :wo * kw]
+    xp = xp.reshape(n, d, ci, ho, kh, wo, kw)
+    out = None
+    for t in range(kd):
+        slab = xp[:, t:t + (do - 1) * sz + 1:sz]
+        part = jnp.einsum("nacbqdr,qrco->naobd", slab, kernel[t])
+        out = part if out is None else out + part
+    if bias is not None:
+        out = out + bias.reshape(1, 1, co, 1, 1)
+    return out
+
+
+def conv_transpose_d2s_z_kl(xk, kernel, bias=None):
+    """conv_transpose_d2s_z on a kernel-layout tensor (overlapping z
+    window, z stride 1): [N, D, Ci, H, W] ->
+    [N, D-1+kd, Co, H*kh, W*kw]."""
+    kd, kh, kw, ci, co = kernel.shape
+    n, d, c, h, w = xk.shape
+    assert c == ci, (xk.shape, kernel.shape)
+    kernel = kernel[::-1, ::-1, ::-1]
+    out = jnp.einsum("ndchw,ijlco->nidohjwl", xk, kernel)
+    out = out.reshape(n, kd, d, co, h * kh, w * kw)
+    do = d - 1 + kd
+    acc = jnp.zeros((n, do, co, h * kh, w * kw), out.dtype)
+    for i in range(kd):
+        acc = acc.at[:, i:i + d].add(out[:, i])
+    if bias is not None:
+        acc = acc + bias.reshape(1, 1, co, 1, 1)
+    return acc
+
+
 class S2DConv(nn.Module):
     """Drop-in for ``nn.Conv(features, k, strides=s, padding='VALID')``
     when supports_s2d(k, s) (k == s, or z overlapping with any sz).
@@ -151,22 +236,28 @@ class S2DConv(nn.Module):
     kernel_size: Tuple[int, int, int]
     dtype: Any = jnp.float32
     strides: Any = None  # None -> kernel_size (non-overlapping)
+    layout: str = "ndhwc"  # 'ndhwc' | 'kl' ([N, D, C, H, W] in/out)
 
     @nn.compact
     def __call__(self, x):
-        kshape = tuple(self.kernel_size) + (x.shape[-1], self.features)
+        cin = x.shape[2] if self.layout == "kl" else x.shape[-1]
+        kshape = tuple(self.kernel_size) + (cin, self.features)
         kernel = self.param("kernel", nn.initializers.he_normal(), kshape,
                             jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         strides = (tuple(self.strides) if self.strides is not None
                    else tuple(self.kernel_size))
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        if self.layout == "kl":
+            if strides == tuple(self.kernel_size):
+                return conv_s2d_kl(x, kernel, bias)
+            return conv_s2d_z_kl(x, kernel, strides[0], bias)
         if strides == tuple(self.kernel_size):
-            return conv_s2d(x.astype(self.dtype),
-                            kernel.astype(self.dtype),
-                            bias.astype(self.dtype))
-        return conv_s2d_z(x.astype(self.dtype), kernel.astype(self.dtype),
-                          strides[0], bias.astype(self.dtype))
+            return conv_s2d(x, kernel, bias)
+        return conv_s2d_z(x, kernel, strides[0], bias)
 
 
 class D2SConvTranspose(nn.Module):
@@ -178,21 +269,27 @@ class D2SConvTranspose(nn.Module):
     kernel_size: Tuple[int, int, int]
     dtype: Any = jnp.float32
     strides: Any = None  # None -> kernel_size (non-overlapping)
+    layout: str = "ndhwc"  # 'ndhwc' | 'kl' ([N, D, C, H, W] in/out)
 
     @nn.compact
     def __call__(self, x):
-        kshape = tuple(self.kernel_size) + (x.shape[-1], self.features)
+        cin = x.shape[2] if self.layout == "kl" else x.shape[-1]
+        kshape = tuple(self.kernel_size) + (cin, self.features)
         kernel = self.param("kernel", nn.initializers.he_normal(), kshape,
                             jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         strides = (tuple(self.strides) if self.strides is not None
                    else tuple(self.kernel_size))
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        if self.layout == "kl":
+            if strides == tuple(self.kernel_size):
+                return conv_transpose_d2s_kl(x, kernel, bias)
+            assert strides[0] == 1, (self.kernel_size, strides)
+            return conv_transpose_d2s_z_kl(x, kernel, bias)
         if strides == tuple(self.kernel_size):
-            return conv_transpose_d2s(x.astype(self.dtype),
-                                      kernel.astype(self.dtype),
-                                      bias.astype(self.dtype))
+            return conv_transpose_d2s(x, kernel, bias)
         assert strides[0] == 1, (self.kernel_size, strides)
-        return conv_transpose_d2s_z(x.astype(self.dtype),
-                                    kernel.astype(self.dtype),
-                                    bias.astype(self.dtype))
+        return conv_transpose_d2s_z(x, kernel, bias)

@@ -224,3 +224,99 @@ def test_vnet_s2d_spine_geometry_matches_default():
     assert out_s.shape == out_b.shape
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_b),
                                atol=2e-4, rtol=1e-4)
+
+
+# ----------------------------------------------------------------------
+# kernel-layout variants (layout_policy='all_kl' trunk)
+# ----------------------------------------------------------------------
+def _kl(x):
+    return jnp.transpose(x, (0, 1, 4, 2, 3))
+
+
+def _unkl(xk):
+    return jnp.transpose(xk, (0, 1, 3, 4, 2))
+
+
+@pytest.mark.parametrize("k", KERNELS)
+def test_conv_s2d_kl_matches_ndhwc(k):
+    from medicalseg_tpu.ops.updown import conv_s2d_kl
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(2, 8, 8, 12, 16).astype(np.float32))
+    K = jnp.asarray(rng.randn(*k, 16, 32).astype(np.float32))
+    b = jnp.asarray(rng.randn(32).astype(np.float32))
+    ref = conv_s2d(x, K, b)
+    got = _unkl(conv_s2d_kl(_kl(x), K, b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
+
+
+@pytest.mark.parametrize("k", KERNELS)
+def test_conv_transpose_d2s_kl_matches_ndhwc(k):
+    from medicalseg_tpu.ops.updown import conv_transpose_d2s_kl
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 4, 4, 6, 32).astype(np.float32))
+    K = jnp.asarray(rng.randn(*k, 32, 16).astype(np.float32))
+    b = jnp.asarray(rng.randn(16).astype(np.float32))
+    ref = conv_transpose_d2s(x, K, b)
+    got = _unkl(conv_transpose_d2s_kl(_kl(x), K, b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
+
+
+def test_conv_z_kl_matches_ndhwc():
+    from medicalseg_tpu.ops.updown import (conv_s2d_z, conv_s2d_z_kl,
+                                           conv_transpose_d2s_z,
+                                           conv_transpose_d2s_z_kl)
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(1, 9, 8, 8, 8).astype(np.float32))
+    K = jnp.asarray(rng.randn(4, 2, 2, 8, 16).astype(np.float32))
+    b = jnp.asarray(rng.randn(16).astype(np.float32))
+    ref = conv_s2d_z(x, K, 1, b)
+    got = _unkl(conv_s2d_z_kl(_kl(x), K, 1, b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
+    Kt = jnp.asarray(rng.randn(4, 2, 2, 8, 4).astype(np.float32))
+    bt = jnp.asarray(rng.randn(4).astype(np.float32))
+    ref = conv_transpose_d2s_z(x, Kt, bt)
+    got = _unkl(conv_transpose_d2s_z_kl(_kl(x), Kt, bt))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
+
+
+def test_vnet_all_kl_matches_default():
+    """layout_policy='all_kl' (full kernel-layout trunk with KL s2d
+    up/down matmuls) consumes the default param tree and reproduces the
+    default logits at BOTH eval and train — checkpoints interchange and
+    the flip-free training path is numerically the same network."""
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.rand(1, 32, 32, 32, 1).astype(np.float32))
+    base = VNet(num_classes=3, dropout=False)
+    akl = VNet(num_classes=3, dropout=False, head_conv="pallas",
+               mid_conv="pallas", updown_conv="s2d",
+               layout_policy="all_kl")
+    variables = jax.jit(
+        lambda k, a: base.init(k, a, train=False))(jax.random.PRNGKey(2),
+                                                   x)
+    out_b = jax.jit(
+        lambda v, a: base.apply(v, a, train=False))(variables, x)[0]
+    out_k = jax.jit(
+        lambda v, a: akl.apply(v, a, train=False))(variables, x)[0]
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_b),
+                               atol=2e-3, rtol=1e-3)
+
+    def loss(model):
+        def f(params, a):
+            out, _ = model.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]}, a, train=True,
+                mutable=["batch_stats"])
+            return jnp.mean(out[0] ** 2)
+        return f
+
+    g_b = jax.jit(jax.grad(loss(base)))(variables["params"], x)
+    g_k = jax.jit(jax.grad(loss(akl)))(variables["params"], x)
+    flat_b = jax.tree_util.tree_leaves(g_b)
+    flat_k = jax.tree_util.tree_leaves(g_k)
+    for a, b in zip(flat_b, flat_k):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-3, rtol=5e-2)

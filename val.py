@@ -37,6 +37,13 @@ def parse_args():
         help="sliding window number: run sliding-window whole-volume "
              "inference with this many windows per axis (None disables).",
         type=int, default=None)
+    parser.add_argument(
+        "--weights_precision", dest="weights_precision",
+        choices=["fp32", "int8"], default="fp32",
+        help="int8: round-trip the conv kernels through the deploy "
+             "Predictor's weight-only int8 quantization "
+             "(utils/quant.py) before evaluating — measures the "
+             "accuracy cost of the int8 serving mode on this dataset.")
     return parser.parse_args()
 
 
@@ -94,6 +101,19 @@ def main(args):
             params=variables["params"],
             batch_stats=variables.get("batch_stats", state.batch_stats))
         logger.info("Loaded trained params of model successfully")
+
+    if args.weights_precision == "int8":
+        # same transform the deploy Predictor's int8 mode applies
+        # (deploy/python/infer.py), evaluated through the standard eval
+        # stack: quantize symmetric-absmax per output channel, then
+        # dequantize — the mDice delta vs fp32 is the serving mode's
+        # accuracy cost.
+        from medicalseg_tpu.utils.quant import (dequantize_tree,
+                                                quantize_tree)
+        state = state.replace(params=dequantize_tree(
+            quantize_tree(jax.device_get(state.params))))
+        logger.info("Quantized conv kernels to int8 (weight-only) and "
+                    "dequantized for evaluation")
 
     log_writer = None
     if args.use_vdl:
