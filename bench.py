@@ -42,7 +42,7 @@ def _sync(x):
 
 
 def bench_pipeline(n_volumes=20, raw_shape=(200, 512, 512), iters=3,
-                   size=128, precision="bf16"):
+                   size=128, precision="bf16", layout_policy="auto"):
     """Device-resident raw->pred pipeline. precision='int8' serves from
     weight-only int8 parameters (utils/quant.py): 4x fewer weight bytes
     in HBM, dequant fused into the forward — the deploy Predictor's
@@ -57,7 +57,8 @@ def bench_pipeline(n_volumes=20, raw_shape=(200, 512, 512), iters=3,
 
     conv = "pallas" if jax.default_backend() == "tpu" else "default"
     model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
-                 head_conv=conv, mid_conv=conv)
+                 head_conv=conv, mid_conv=conv,
+                 layout_policy=layout_policy)
     sample = jnp.zeros((1, size, size, size, 1), jnp.float32)
     state = TrainState.create(model, optax.sgd(1e-3), sample,
                               jax.random.PRNGKey(0))
@@ -300,6 +301,67 @@ def bench_pipeline_disk(n_volumes=20, raw_shape=(200, 512, 512),
     return npy_vps, niigz_vps, breakdown
 
 
+def bench_sliding_window(n_vols=4, vol_shape=(128, 256, 256),
+                         roi=(128, 128, 128), iters=3, window_batch=4):
+    """Sliding-window serving: per-volume vs cross-volume-batched.
+
+    Cross-volume batching is where batch serving architecturally
+    belongs on this model (whole-volume batch-4 measured SLOWER than
+    batch-1 twice — at 128^3 one volume already fills the MXU and
+    batching only adds HBM pressure): the batched stream mixes windows
+    from all volumes through one scan, so ragged tails don't idle the
+    window batch. Returns (pervol_vps, stream_vps)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from medicalseg_tpu.core.sliding_window import (
+        sliding_window_inference, sliding_window_inference_batched)
+    from medicalseg_tpu.core.state import TrainState
+    from medicalseg_tpu.models import VNet
+
+    conv = "pallas" if jax.default_backend() == "tpu" else "default"
+    model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
+                 head_conv=conv, mid_conv=conv)
+    sample = jnp.zeros((window_batch,) + tuple(roi) + (1,), jnp.float32)
+    state = TrainState.create(model, optax.sgd(1e-3), sample,
+                              jax.random.PRNGKey(0))
+    variables = state.variables
+
+    def apply_fn(variables, x, train=False):
+        return model.apply(variables, x, train=train)
+
+    rng = np.random.RandomState(0)
+    vols = jnp.asarray(rng.rand(n_vols, *vol_shape, 1).astype(
+        np.float32))
+
+    def run_pervol():
+        outs = [sliding_window_inference(
+            apply_fn, variables, vols[i], roi, 3,
+            window_batch=window_batch) for i in range(n_vols)]
+        return outs[-1]
+
+    def run_stream():
+        return sliding_window_inference_batched(
+            apply_fn, variables, vols, roi, 3,
+            window_batch=window_batch)
+
+    _sync(run_pervol())  # compile
+    t0 = time.time()
+    for _ in range(iters):
+        out = run_pervol()
+    _sync(out)
+    pervol = n_vols * iters / (time.time() - t0)
+
+    _sync(run_stream())  # compile
+    t0 = time.time()
+    for _ in range(iters):
+        out = run_stream()
+    _sync(out)
+    stream = n_vols * iters / (time.time() - t0)
+    return pervol, stream
+
+
 def bench_pipeline_batched(batch=4, n_volumes=20,
                            raw_shape=(200, 512, 512), iters=3):
     """Device-resident serving with `batch` volumes per forward.
@@ -453,6 +515,16 @@ def main():
                 batch=4, n_volumes=20, raw_shape=raw_shape, iters=3)
         except Exception as e:
             print("# batched bench failed: {}".format(e))
+    swl_pervol_vps = swl_stream_vps = 0.0
+    if not small:
+        # where batching WINS on this model: the sliding-window stream
+        # (whole-volume batch-4 loses to batch-1 — one 128^3 volume
+        # already fills the MXU; see bench_sliding_window docstring)
+        _note("sliding-window serving (per-volume vs cross-volume)")
+        try:
+            swl_pervol_vps, swl_stream_vps = bench_sliding_window()
+        except Exception as e:
+            print("# sliding-window bench failed: {}".format(e))
     int8_vps = 0.0
     if not small:
         _note("int8 pipeline")
@@ -488,10 +560,15 @@ def main():
         "niigz_e2e_vps": round(niigz_vps, 3),
         "device_resident_vps": round(device_vps, 3),
         "device_resident_batched_vps": round(batched_vps, 3),
+        "swl_pervol_vps": round(swl_pervol_vps, 3),
+        "swl_stream_vps": round(swl_stream_vps, 3),
         "device_resident_int8_vps": round(int8_vps, 3),
         "train_patches_per_sec_per_chip": round(train_pps, 3),
         "train_pps_multistep": round(train_pps_multi, 3),
         "host_prep_ms": breakdown.get("host_prep_ms", 0.0),
+        "nii_host_prep_ms": breakdown.get("nii_host_prep_ms", 0.0),
+        "nii_inflate_out_mbps": breakdown.get("nii_inflate_out_mbps",
+                                              0.0),
         "wire_mb_per_volume": breakdown.get("wire_mb", 0.0),
         "backend": backend,
     }

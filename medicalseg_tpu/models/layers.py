@@ -256,6 +256,45 @@ class PallasConv5KL(nn.Module):
         return pc.conv5_kl(xk, kern, bias, self.kind, interpret)
 
 
+class Conv1x1KL(nn.Module):
+    """1^3 conv as a kernel-layout-flat contraction.
+
+    nn.Conv's 1^3 convolution on an NDHWC tensor with C=num_classes
+    makes XLA lay the operands out channels-minor — lane-padded
+    128/C (42x for 3 classes; ~12 ms/step of convolution fusions +
+    copies at 128^3 b2, measured round 4). Contracting on the flat
+    kernel layout [N, D, C, H*W] keeps the wide spatial extent on
+    lanes. Param names/shapes match nn.Conv (kernel [1,1,1,Ci,Co],
+    bias [Co]) so checkpoints interchange; numerics are the same
+    contraction.
+    """
+    features: int
+    dtype: Any = jnp.float32
+    layout: str = "ndhwc"  # input layout: 'ndhwc' | 'kl'; returns NDHWC
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops import pallas_conv5 as pc
+
+        ci = x.shape[2] if self.layout == "kl" else x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.he_normal(),
+                            (1, 1, 1, ci, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        xk = x if self.layout == "kl" else pc.to_kl(x)
+        n, d, c, h, w = xk.shape
+        f = xk.astype(self.dtype).reshape(n, d, c, h * w)
+        w2 = kernel[0, 0, 0].astype(self.dtype)  # [Ci, Co]
+        # [Co, Ci] x [N, D, Ci, F] -> [Co, N, D, F]: both sides keep
+        # the flat spatial axis minor (no lane-padded layout exists)
+        out = jax.lax.dot_general(
+            w2.T, f, dimension_numbers=(((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = out + bias.reshape(-1, 1, 1, 1)
+        out = jnp.transpose(out, (1, 2, 0, 3)).astype(self.dtype)
+        return pc.from_kl(out.reshape(n, d, self.features, h, w))
+
+
 class ConvBNAct(nn.Module):
     """Conv3D + BatchNorm + activation (reference LUConv, vnet.py:32-43).
 

@@ -430,17 +430,29 @@ class OutputTransition(nn.Module):
                       and _kl_block(x_shape[3], train, self.in_kl))
         if use_kl:
             xk = x if self.in_kl else pc.to_kl(x)
-            outk = ConvBNAct(self.num_classes, (5, 5, 5), elu=self.elu,
-                             dtype=self.dtype, lane_pad="pallas",
-                             layout="kl")(xk, train)
-            out = pc.from_kl(outk)
+            pre = ConvBNAct(self.num_classes, (5, 5, 5), elu=self.elu,
+                            dtype=self.dtype, lane_pad="pallas",
+                            layout="kl")(xk, train)
+            pre_layout = "kl"
         else:
             xn = pc.from_kl(x) if self.in_kl else x
-            out = ConvBNAct(self.num_classes, (5, 5, 5), elu=self.elu,
+            pre = ConvBNAct(self.num_classes, (5, 5, 5), elu=self.elu,
                             dtype=self.dtype, lane_pad=lane_pad)(xn,
                                                                  train)
-        out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
-                      kernel_init=nn.initializers.he_normal())(out)
+            pre_layout = "ndhwc"
+        if self.head_conv == "pallas":
+            # 1^3 conv as a KL-flat contraction: the stock conv's
+            # C=num_classes-minor operands lane-pad 128/C (see
+            # layers.Conv1x1KL). Same params ('Conv_0'), same math.
+            from .layers import Conv1x1KL
+            out = Conv1x1KL(self.num_classes, dtype=self.dtype,
+                            layout=pre_layout, name="Conv_0")(pre)
+        else:
+            if pre_layout == "kl":
+                pre = pc.from_kl(pre)
+            out = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
+                          kernel_init=nn.initializers.he_normal(),
+                          name="Conv_0")(pre)
         return out
 
 

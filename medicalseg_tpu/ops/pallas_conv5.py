@@ -488,18 +488,91 @@ def _wgrad_kernel(xt_ref, ge_ref, out_ref, slab, gbuf, sems,
 
 
 def _pick_hc_wgrad(h, w, ci_p, mg, kd_n, itemsize,
-                   budget=11 * 1024 * 1024, align=True, mid=False):
+                   budget=11 * 1024 * 1024, align=True, mid=False,
+                   ck=False):
     for hc in (64, 32, 16, 8, 4, 2, 1):
         if h % hc or (align and (hc * w) % 128):
             continue
         lc = (hc + 4) * w + 2 * MARGIN
         slab = kd_n * ci_p * lc * itemsize
         gbuf = mg * max(lc, hc * w) * itemsize
+        if ck:
+            # compact-g: one small g slab DMA + the f32 expansion
+            # pieces + the converted gm (no host-side ge)
+            gbuf = (mg // (K * K) * (lc + 4 * w + 2 * MARGIN) *
+                    (itemsize + 4) + mg * lc * (4 + itemsize))
         a_all = (K * kd_n * ci_p * hc * w * itemsize) if mid else 0
         out = (K if mid else 1) * kd_n * ci_p * mg * 4
         if slab + gbuf + a_all + out + mg * lc * itemsize <= budget:
             return hc
     return None
+
+
+def _wgrad_kernel_ck(xt_ref, gf_ref, out_ref, slab, gslab, sems,
+                     *, kd_n, ci_p, co_g, hc, w, lc, fold_kw):
+    """Std (head/stem) wgrad with IN-KERNEL g expansion.
+
+    gf_ref holds the COMPACT g on a (H+8)-row flat grid with 2-tile
+    lane margins: [N, D, co_g, 256 + (H+8)*W + 256] (rows [4, 4+H) are
+    g, zeros around). The (kh[, kw])-shifted row blocks the host built
+    via :func:`_expand_g_head` / :func:`_expand_g_stem` (692 MB at
+    128^3 b2 for the 3-class head — a 10.9 ms concatenate per step)
+    are shifted lane-slices of this one slab: piece (kh, kw) column q
+    reads gslab at q + (4-kh)*W + (P-kw) + 128, masked to the rows
+    this program owns (kh <= rw < kh+hc, the same ownership mask the
+    host-expanded kernel applies) and to in-row kw sources. Pieces are
+    f32 (unaligned lane slices are 32-bit-only on TPU) at a co_g=8k
+    row granularity, concatenated aligned, then converted once for the
+    MXU.
+    """
+    n = pl.program_id(0)
+    d = pl.program_id(1)
+    hi = pl.program_id(2)
+
+    cx = pltpu.make_async_copy(
+        xt_ref.at[n, pl.ds(d, kd_n), :, pl.ds(hi * hc * w, lc)],
+        slab, sems.at[0])
+    cg = pltpu.make_async_copy(
+        gf_ref.at[n, d, :, pl.ds(hi * hc * w,
+                                 lc + 4 * w + 2 * MARGIN)],
+        gslab, sems.at[1])
+    cx.start()
+    cg.start()
+    cx.wait()
+    cg.wait()
+
+    g32 = gslab[:].astype(jnp.float32)
+    qq = jax.lax.broadcasted_iota(jnp.int32, (co_g, lc), 1) - MARGIN
+    rw = qq // w   # local padded row of each lane (front margin -> -1)
+    cw = qq % w    # column within the image row
+    pieces = []
+    kws = range(K) if fold_kw else (P,)
+    for kh in range(K):
+        own = jnp.logical_and(rw >= kh, rw < kh + hc)
+        for kw in kws:
+            off = (4 - kh) * w + (P - kw) + MARGIN
+            sl = g32[:, off:off + lc]
+            m = own
+            if kw != P:
+                m = jnp.logical_and(m, jnp.logical_and(
+                    cw + (P - kw) >= 0, cw + (P - kw) < w))
+            pieces.append(jnp.where(m, sl, 0.0))
+    gm = jnp.concatenate(pieces, axis=0).astype(
+        slab.dtype)  # [(kh[, kw], co_g), lc]
+
+    partial = jax.lax.dot_general(
+        slab[:].reshape(kd_n * ci_p, lc), gm,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [KD*Ci', Mg]
+
+    first = jnp.logical_and(
+        jnp.logical_and(n == 0, d == 0), hi == 0)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] = out_ref[:] + partial
 
 
 def _expand_g_head(gk, co, mg, dt):
@@ -593,6 +666,70 @@ def _wgrad_mid_kernel(xt_ref, ge_ref, out_ref, slab, gbuf, sems,
     out_ref[:] = out_ref[:] + partial.reshape(K, kd_n * ci_p, mg)
 
 
+def _wgrad_mid_kernel_ck(xt_ref, gf_ref, out_ref, slab, gslab, sems,
+                         *, kd_n, ci_p, co, hc, w, ww, lc):
+    """Mid wgrad with IN-KERNEL g expansion.
+
+    gf_ref holds the COMPACT kernel-layout g
+    [N, D, co, M + H*W + M] — the 5 kw-shifted row blocks that
+    :func:`_expand_g_kw` materialized in HBM (1.34 GB for the 32->32
+    conv at 128^3 b2; the single largest materialization of the cube
+    train step) are built here in VMEM from one compact slab instead.
+    The kw shifts are unaligned lane slices, taken on an f32 copy of
+    the slab (bf16 lane shifts are unsupported on TPU — same
+    f32-slicing design as the forward kernel's tap fold), with the
+    SAME-edge zero mask applied per kw; row-pad columns (W < 128
+    geometries) are zero in gf already, so they add nothing to dw.
+    Numerics are identical to the host-expanded path: the same values
+    enter the same matmul.
+    """
+    n = pl.program_id(0)
+    d = pl.program_id(1)
+    hi = pl.program_id(2)
+
+    cx = pltpu.make_async_copy(
+        xt_ref.at[n, pl.ds(d, kd_n), :, pl.ds(hi * hc * w, lc)],
+        slab, sems.at[0])
+    cg = pltpu.make_async_copy(
+        gf_ref.at[n, d, :, pl.ds(hi * hc * w, hc * w + 2 * MARGIN)],
+        gslab, sems.at[1])
+    cx.start()
+    cg.start()
+    cx.wait()
+    cg.wait()
+
+    g32 = gslab[:].astype(jnp.float32)
+    qw = jax.lax.broadcasted_iota(jnp.int32, (co, hc * w), 1) % w
+    pieces = []
+    for kw in range(K):
+        # ge row block kw at column q equals g[q + P - kw] of the same
+        # row, zero where the source column leaves [0, ww)
+        off = MARGIN + P - kw
+        sl = g32[:, off:off + hc * w]
+        if kw != P:
+            mask = jnp.logical_and(qw + (P - kw) >= 0,
+                                   qw + (P - kw) < ww)
+            sl = jnp.where(mask, sl, 0.0)
+        pieces.append(sl.astype(slab.dtype))
+    gm = jnp.concatenate(pieces, axis=0)  # [(kw, co), hc*W]
+
+    first = jnp.logical_and(
+        jnp.logical_and(n == 0, d == 0), hi == 0)
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    a_all = jnp.concatenate(
+        [slab[:, :, MARGIN + kh * w:MARGIN + kh * w + hc * w]
+         .reshape(kd_n * ci_p, hc * w) for kh in range(K)], axis=0)
+    partial = jax.lax.dot_general(
+        a_all, gm,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [(kh, kd, ci), (kw, co)]
+    out_ref[:] = out_ref[:] + partial.reshape(K, kd_n * ci_p, K * co)
+
+
 def _expand_g_kw(gk, co, ws, dt):
     """[N, D, (kw, co), H*ws]: g (kernel layout [N, D, co, H, W])
     shifted by (kw-2) along W, zeros at the W edges (the SAME mask),
@@ -635,15 +772,35 @@ def _conv5_wgrad_mid_kl(xk, gk, *, interpret=False):
     xt = jnp.pad(xk, ((0, 0), (P, P), (0, ci_p - ci), (P, P),
                       (0, ws - ww)))
     xt = _pad_flat(xt.reshape(n, d + 2 * P, ci_p, (h + 2 * P) * ws))
-    ge = _expand_g_kw(gk, co, ws, dt)
-    if mg > K * co:
-        ge = jnp.pad(ge, ((0, 0), (0, 0), (0, mg - K * co), (0, 0)))
 
     hc = _pick_hc_wgrad(h, ws, ci_p, mg, K, jnp.dtype(dt).itemsize,
                         align=not interpret, mid=True)
     lc = (hc + 4) * ws + 2 * MARGIN
-    kernel = functools.partial(
-        _wgrad_mid_kernel, kd_n=K, ci_p=ci_p, mg=mg, hc=hc, w=ws, lc=lc)
+    # compact-g path: the kernel builds the kw-shifted ge rows in VMEM
+    # (no 5x HBM expansion). Needs the tap row stride co to be a
+    # sublane-tile multiple so the concatenated row blocks stay
+    # aligned — true for every NConv-stack conv (co in {16, 32, 64});
+    # odd heads (e.g. the 20-class spine head) keep the host expansion.
+    compact = (mg == K * co and co % _sublane(dt) == 0)
+    if compact:
+        gf = _pad_flat(jnp.pad(
+            gk, ((0, 0),) * 4 + ((0, ws - ww),)).reshape(
+                n, d, co, h * ws)).astype(dt)
+        kernel = functools.partial(
+            _wgrad_mid_kernel_ck, kd_n=K, ci_p=ci_p, co=co, hc=hc,
+            w=ws, ww=ww, lc=lc)
+        gspec = pltpu.VMEM((co, hc * ws + 2 * MARGIN), dt)
+        g_arg = gf
+    else:
+        ge = _expand_g_kw(gk, co, ws, dt)
+        if mg > K * co:
+            ge = jnp.pad(ge, ((0, 0), (0, 0), (0, mg - K * co),
+                              (0, 0)))
+        kernel = functools.partial(
+            _wgrad_mid_kernel, kd_n=K, ci_p=ci_p, mg=mg, hc=hc, w=ws,
+            lc=lc)
+        gspec = pltpu.VMEM((mg, hc * ws), dt)
+        g_arg = ge
     out = pl.pallas_call(
         kernel,
         grid=(n, d, h // hc),
@@ -655,15 +812,16 @@ def _conv5_wgrad_mid_kl(xk, gk, *, interpret=False):
         out_shape=jax.ShapeDtypeStruct((K, K * ci_p, mg), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((K, ci_p, lc), dt),
-            pltpu.VMEM((mg, hc * ws), dt),
+            gspec,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * K * ci_p * K * mg * hc * ws * n * d * (h // hc),
-            bytes_accessed=(xt.size + ge.size) * jnp.dtype(dt).itemsize,
+            bytes_accessed=(xt.size + g_arg.size) *
+            jnp.dtype(dt).itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(xt, ge)
+    )(xt, g_arg)
 
     # [kh, kd, ci_p, (kw, co)] -> [kd, kh, kw, ci, co]
     dw = out[:, :, :K * co].reshape(K, K, ci_p, K, co)[:, :, :ci]
@@ -675,7 +833,89 @@ def _conv5_wgrad_mid_pallas(x, g, *, interpret=False):
 
 
 def _conv5_wgrad_kl(xk, gk, kind, *, interpret=False):
-    """Std wgrad in kernel layout: xk [N,D,Ci,H,W], gk [N,D,Co,H,W]."""
+    """Std wgrad in kernel layout: xk [N,D,Ci,H,W], gk [N,D,Co,H,W].
+
+    The g expansion happens IN-KERNEL (:func:`_wgrad_kernel_ck`) from
+    a compact (H+8)-grid g tensor — the host-side 5x/25x shifted-copy
+    materializations are gone. Rows per tap are co_g = round_up(co, 8)
+    (f32 piece granularity); for the narrow heads this widens the
+    matmul's Mg (80 -> 200 for co=3) but removes a 692 MB HBM
+    round-trip per step at 128^3 b2.
+    """
+    n, d, ci, h, ww = xk.shape
+    co = gk.shape[2]
+    dt = xk.dtype
+    co_g = _round_up(co, 8)
+    if kind == "stem":
+        ci_p = _round_up(K * K, _sublane(dt))
+        kd_n, fold_kw = 1, False
+        mg = K * co_g
+        xp = jnp.pad(xk[:, :, 0], ((0, 0), (P, P), (P, P), (P, P)))
+        chans = [xp[:, kd:kd + d, :, kw:kw + ww]
+                 for kd in range(K) for kw in range(K)]
+        chans += [jnp.zeros_like(chans[0])] * (ci_p - K * K)
+        xt = _pad_flat(jnp.stack(chans, axis=2).reshape(
+            n, d, ci_p, (h + 2 * P) * ww))
+    else:
+        ci_p = _round_up(ci, _sublane(dt))
+        kd_n, fold_kw = K, True
+        mg = K * K * co_g
+        xt = jnp.pad(xk, ((0, 0), (P, P), (0, ci_p - ci), (P, P),
+                          (0, 0)))
+        xt = _pad_flat(xt.reshape(n, d + 2 * P, ci_p,
+                                  (h + 2 * P) * ww))
+    # compact g: rows [4, 4+H) of an (H+8)-row flat grid, 2-tile lane
+    # margins so every shifted in-kernel read stays in bounds
+    gf = jnp.pad(gk, ((0, 0), (0, 0), (0, co_g - co), (2 * P, 2 * P),
+                      (0, 0))).reshape(n, d, co_g, (h + 4 * P) * ww)
+    gf = jnp.pad(gf, ((0, 0),) * 3 + ((2 * MARGIN, 2 * MARGIN),)
+                 ).astype(dt)
+
+    hc = _pick_hc_wgrad(h, ww, ci_p, mg, kd_n,
+                        jnp.dtype(dt).itemsize, align=not interpret,
+                        ck=True)
+    if hc is None:
+        return _conv5_wgrad_kl_hostexp(xk, gk, kind,
+                                       interpret=interpret)
+    lc = (hc + 4) * ww + 2 * MARGIN
+    kernel = functools.partial(
+        _wgrad_kernel_ck, kd_n=kd_n, ci_p=ci_p, co_g=co_g, hc=hc,
+        w=ww, lc=lc, fold_kw=fold_kw)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, d, h // hc),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (kd_n * ci_p, mg), lambda ni, di, hi: (0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kd_n * ci_p, mg), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((kd_n, ci_p, lc), dt),
+            pltpu.VMEM((co_g, lc + 4 * ww + 2 * MARGIN), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * kd_n * ci_p * mg * lc * n * d * (h // hc),
+            bytes_accessed=(xt.size + gf.size) * jnp.dtype(dt).itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(xt, gf)
+
+    if kind == "stem":
+        # rows (kd, kw), cols (kh, co_g) -> [kd, kh, kw, 1, co]
+        dw = out[:K * K].reshape(K, K, K, co_g)[..., :co]
+        dw = jnp.transpose(dw, (0, 2, 1, 3))[:, :, :, None, :]
+    else:
+        # rows (kd, ci), cols (kh, kw, co_g) -> [kd, kh, kw, ci, co]
+        dw = out.reshape(K, ci_p, K, K, co_g)[:, :ci, :, :, :co]
+        dw = jnp.transpose(dw, (0, 2, 3, 1, 4))
+    return dw
+
+
+def _conv5_wgrad_kl_hostexp(xk, gk, kind, *, interpret=False):
+    """Fallback std wgrad with the host-side g expansion (used when
+    the compact kernel's VMEM budget doesn't fit a geometry)."""
     n, d, ci, h, ww = xk.shape
     co = gk.shape[2]
     dt = xk.dtype
@@ -690,7 +930,6 @@ def _conv5_wgrad_kl(xk, gk, kind, *, interpret=False):
         xt = _pad_flat(jnp.stack(chans, axis=2).reshape(
             n, d, ci_p, (h + 2 * P) * ww))
         ge = _expand_g_stem(gk, co, mg, dt)
-        d_out = d
     else:
         ci_p = _round_up(ci, _sublane(dt))
         kd_n, grp = K, K * co
@@ -700,7 +939,6 @@ def _conv5_wgrad_kl(xk, gk, kind, *, interpret=False):
         xt = _pad_flat(xt.reshape(n, d + 2 * P, ci_p,
                                   (h + 2 * P) * ww))
         ge = _expand_g_head(gk, co, mg, dt)
-        d_out = d
 
     hc = _pick_hc_wgrad(h, ww, ci_p, mg, kd_n,
                         jnp.dtype(dt).itemsize, align=not interpret)
@@ -710,7 +948,7 @@ def _conv5_wgrad_kl(xk, gk, kind, *, interpret=False):
         w=ww, lc=lc)
     out = pl.pallas_call(
         kernel,
-        grid=(n, d_out, h // hc),
+        grid=(n, d, h // hc),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -723,7 +961,7 @@ def _conv5_wgrad_kl(xk, gk, kind, *, interpret=False):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * kd_n * ci_p * mg * lc * n * d_out * (h // hc),
+            flops=2 * kd_n * ci_p * mg * lc * n * d * (h // hc),
             bytes_accessed=(xt.size + ge.size) * jnp.dtype(dt).itemsize,
             transcendentals=0),
         interpret=interpret,

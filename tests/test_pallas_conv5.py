@@ -179,6 +179,27 @@ def test_mid_wgrad_matches_xla_vjp():
                                atol=5e-3, rtol=5e-3)
 
 
+def test_mid_wgrad_compact_vs_host_expansion():
+    """The in-kernel compact-g expansion (co a sublane multiple) and
+    the host-expanded fallback (odd co, e.g. a 20-class head) both
+    match the XLA conv's weight gradient."""
+    rng = np.random.RandomState(11)
+    ci = 8
+    for co in (32, 20):  # 32 -> compact kernel, 20 -> host expansion
+        x = jnp.asarray(rng.randn(1, 4, 8, 128, ci).astype(np.float32))
+        g = jnp.asarray(rng.randn(1, 4, 8, 128, co).astype(np.float32))
+        k = jnp.asarray((rng.randn(5, 5, 5, ci, co) /
+                         np.sqrt(125 * ci)).astype(np.float32))
+        b = jnp.zeros((co,), np.float32)
+        assert (pc._round_up(5 * co, 8) == 5 * co and co % 8 == 0) == \
+            (co == 32)
+        dw = pc._conv5_wgrad_mid_pallas(x, g, interpret=True)
+        ref = jax.grad(
+            lambda k_: jnp.vdot(pc._conv5_xla(x, k_, b), g))(k)
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(ref),
+                                   atol=5e-3, rtol=5e-3)
+
+
 def test_conv5_batch_sharded_partitioning():
     """Under a batch-sharded pjit the custom_partitioning rules shard
     the kernel over the batch axis (not replicate it), keep the output

@@ -120,9 +120,10 @@ def probe_train_profile(steps=3):
     batch = 2
     variant = os.environ.get("PROBE_CONV", "pallas")
     updown = os.environ.get("PROBE_UPDOWN", "s2d")  # the model default
+    layout = os.environ.get("PROBE_LAYOUT", "auto")
     model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
                  remat=True, head_conv=variant, mid_conv=variant,
-                 updown_conv=updown)
+                 updown_conv=updown, layout_policy=layout)
     losses = {"types": [MixedLoss([CrossEntropyLoss(), DiceLoss()],
                                   [1.0, 1.0])], "coef": [1]}
     tx = optax.chain(optax.add_decayed_weights(1e-4),
