@@ -202,6 +202,22 @@ def train(model,
     iters_per_epoch = loader.iters_per_epoch
     best_mean_dice = -1.0
     best_model_iter = -1
+    # A resumed run must not let a worse later eval overwrite
+    # best_model: restore the tracker persisted next to the weights
+    # (the reference re-inits to -1 on resume and silently clobbers —
+    # core/train.py:232 there; we keep the weights honest instead).
+    _best_json = os.path.join(save_dir, "best_model", "best.json")
+    if start_iter > 0 and os.path.isfile(_best_json):
+        try:
+            import json as _json
+            with open(_best_json) as f:
+                _b = _json.load(f)
+            best_mean_dice = float(_b.get("mdice", -1.0))
+            best_model_iter = int(_b.get("iter", -1))
+            logger.info("Restored best-model tracker: mDice {:.4f} at "
+                        "iter {}".format(best_mean_dice, best_model_iter))
+        except (ValueError, OSError):
+            pass
     reader_cost_averager = TimeAverager()
     batch_cost_averager = TimeAverager()
     save_models = deque()
@@ -360,6 +376,12 @@ def train(model,
                                  else save_checkpoint)
                         _save(best_model_dir,
                               jax.device_get(state.variables))
+                        import json as _json
+                        os.makedirs(best_model_dir, exist_ok=True)
+                        with open(os.path.join(best_model_dir,
+                                               "best.json"), "w") as f:
+                            _json.dump({"mdice": best_mean_dice,
+                                        "iter": best_model_iter}, f)
                     logger.info(
                         "[EVAL] The model with the best validation mDice "
                         "({:.4f}) was saved at iter {}.".format(

@@ -2,6 +2,7 @@
 CPU-runnable integration test) — exercises loader, device augmentation,
 the jitted train step over the 8-device CPU mesh, eval, checkpoint
 save/resume/best-model."""
+import json
 import os
 import sys
 
@@ -79,17 +80,29 @@ def test_train_loop_e2e(datasets, tmp_path):
     # eval artifacts were dumped (npy + nii.gz)
     assert os.path.exists(os.path.join(save_dir, "0", "pred.npy"))
     assert os.path.exists(os.path.join(save_dir, "0", "pred.nii.gz"))
+    # best-model tracker persisted next to the weights
+    best_json = os.path.join(save_dir, "best_model", "best.json")
+    assert os.path.isfile(best_json)
+    with open(best_json) as f:
+        best = json.load(f)
+    assert best["iter"] in (3, 6) and 0.0 <= best["mdice"] <= 1.0
 
-    # ---- resume from iter_6 and take one more step
+    # ---- resume from iter_6 into the SAME save_dir: a worse later
+    # eval must NOT clobber best_model (tracker restored from
+    # best.json; plant an unbeatable value to prove it)
+    with open(best_json, "w") as f:
+        json.dump({"mdice": 1.0, "iter": 6}, f)
     from medicalseg_tpu.core import train as train_fn
     state2 = train_fn(
-        _small_vnet(), train_ds, val_dataset=None, optimizer=tx,
-        lr_scheduler=schedule, save_dir=str(tmp_path / "output2"),
+        _small_vnet(), train_ds, val_dataset=val_ds, optimizer=tx,
+        lr_scheduler=schedule, save_dir=save_dir,
         iters=7, batch_size=1, save_interval=7, log_iters=1,
         num_workers=1, losses=losses,
         resume_model=os.path.join(save_dir, "iter_6"), seed=0,
         mesh=_test_mesh())
     assert int(state2.step) == 7
+    with open(best_json) as f:
+        assert json.load(f) == {"mdice": 1.0, "iter": 6}
 
 
 def test_evaluate_standalone(datasets, tmp_path):

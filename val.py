@@ -39,11 +39,13 @@ def parse_args():
         type=int, default=None)
     parser.add_argument(
         "--weights_precision", dest="weights_precision",
-        choices=["fp32", "int8"], default="fp32",
+        choices=["fp32", "bf16", "int8"], default="fp32",
         help="int8: round-trip the conv kernels through the deploy "
              "Predictor's weight-only int8 quantization "
              "(utils/quant.py) before evaluating — measures the "
-             "accuracy cost of the int8 serving mode on this dataset.")
+             "accuracy cost of the int8 serving mode on this dataset. "
+             "bf16: round-trip ALL params through bfloat16 (the deploy "
+             "bf16 serving mode's weight rounding).")
     return parser.parse_args()
 
 
@@ -114,6 +116,13 @@ def main(args):
             quantize_tree(jax.device_get(state.params))))
         logger.info("Quantized conv kernels to int8 (weight-only) and "
                     "dequantized for evaluation")
+    elif args.weights_precision == "bf16":
+        import jax.numpy as jnp
+        state = state.replace(params=jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16).astype(x.dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            state.params))
+        logger.info("Rounded params through bfloat16 for evaluation")
 
     log_writer = None
     if args.use_vdl:
