@@ -549,9 +549,12 @@ def probe_spine_profile(steps=3):
     batch = 3
     shape = (12, 512, 512)
     n_cls = 20
+    layout = os.environ.get("PROBE_LAYOUT", "auto")
+    updown = os.environ.get("PROBE_UPDOWN", "s2d")
     model = VNetDeepSup(
         in_channels=1, num_classes=n_cls, dtype=jnp.bfloat16, remat=True,
         head_conv="pallas", mid_conv="pallas",
+        layout_policy=layout, updown_conv=updown,
         kernel_size=((4, 2, 2), (2, 2, 2), (2, 2, 2), (2, 2, 2)),
         stride_size=((1, 2, 2), (1, 2, 2), (2, 2, 2), (2, 2, 2)))
     mixed = lambda: MixedLoss([CrossEntropyLoss(), DiceLoss()], [1.0, 1.0])
