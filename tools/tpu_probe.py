@@ -576,7 +576,12 @@ def probe_spine_profile(steps=3):
         model, tx, jnp.zeros((batch,) + shape + (1,)),
         jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.rand(batch, *shape).astype(np.float32))
+    images = rng.rand(batch, *shape).astype(np.float32)
+    if aug is None:
+        # no device augmentor => the loader ships NDHWC (the augmentor
+        # is what adds the channel dim on the raw wire format)
+        images = images[..., None]
+    images = jnp.asarray(images)
     labels = jnp.asarray(
         rng.randint(0, n_cls, (batch,) + shape).astype(np.int32))
     key = jax.random.PRNGKey(1)
