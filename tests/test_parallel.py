@@ -24,6 +24,26 @@ def test_graft_dryrun_multichip():
     __graft_entry__.dryrun_multichip(jax.device_count())
 
 
+def test_graft_dryrun_program_compiles():
+    """Default-tier gate guard (VERDICT r4 #1a): lower + compile the
+    EXACT 8-device dryrun program — the full pallas-conv VNet train step
+    with data x space shardings — so a kernel/sharding regression that
+    would break MULTICHIP_rN is caught in the smoke tier. Execution is
+    left to the slow-tier test above: at the conftest's
+    --xla_backend_optimization_level=0 the 8-virtual-device run costs
+    ~7 min on this 1-core box, the compile only seconds once the
+    persistent cache is warm."""
+    import __graft_entry__
+    jit_step, mesh, state, images, labels, key = \
+        __graft_entry__._build_dryrun(jax.device_count())
+    with mesh:
+        compiled = jit_step.lower(state, images, labels, key).compile()
+    # sanity: the compiled step really is a multi-device SPMD program
+    # with cross-device reductions (grad psum / BN pmean)
+    hlo = compiled.as_text()
+    assert "all-reduce" in hlo or "all_reduce" in hlo
+
+
 def test_dp_grads_match_single_device():
     """The sharded train step must produce the same numbers as the
     single-device step (SyncBN + global grad semantics)."""
