@@ -123,4 +123,6 @@ class DevicePrefetcher:
     def close(self):
         self._stop.set()
         if self._pool is not None:
-            self._pool.shutdown(wait=False)
+            # cancel queued decodes too, or the _put thread can stay
+            # blocked on an in-flight future after close
+            self._pool.shutdown(wait=False, cancel_futures=True)

@@ -376,12 +376,31 @@ def train(model,
                                  else save_checkpoint)
                         _save(best_model_dir,
                               jax.device_get(state.variables))
+
+                        # best.json must be (a) atomic — a truncated
+                        # file would silently reset the tracker to -1
+                        # on resume, reintroducing the clobber bug —
+                        # and (b) written AFTER the weight save: under
+                        # async_checkpoint the same single-worker
+                        # executor sequences it behind the pending
+                        # model.msgpack write.
                         import json as _json
-                        os.makedirs(best_model_dir, exist_ok=True)
-                        with open(os.path.join(best_model_dir,
-                                               "best.json"), "w") as f:
-                            _json.dump({"mdice": best_mean_dice,
-                                        "iter": best_model_iter}, f)
+
+                        from ..utils.checkpoint import (_atomic_write,
+                                                        _get_executor)
+
+                        def _write_best(d=best_model_dir,
+                                        md=best_mean_dice,
+                                        bi=best_model_iter):
+                            os.makedirs(d, exist_ok=True)
+                            _atomic_write(
+                                os.path.join(d, "best.json"),
+                                _json.dumps({"mdice": md,
+                                             "iter": bi}).encode())
+                        if async_checkpoint:
+                            _get_executor().submit(_write_best)
+                        else:
+                            _write_best()
                     logger.info(
                         "[EVAL] The model with the best validation mDice "
                         "({:.4f}) was saved at iter {}.".format(

@@ -56,8 +56,10 @@ class ComponentManager:
                             format(type(component)))
         component_name = component.__name__
         if component_name in self._components_dict:
-            warnings.warn("{} exists already! It is now updated to {} !!!".
-                          format(component_name, component))
+            warnings.warn(
+                "registry '{}' already has a component named '{}'; "
+                "overwriting it with {}".format(self._name,
+                                                component_name, component))
         self._components_dict[component_name] = component
 
     def add_component(self, components):

@@ -68,8 +68,10 @@ def hu_resize_array(vol, size, hu_min=-1200.0, hu_max=600.0,
 def gzip_read_bytes(path):
     """Inflate a whole gzip file via the native backend (libdeflate,
     one-shot — measured 2-3x the Python gzip module on CT payloads).
-    Returns bytes, or None when the native path is unavailable (caller
-    falls back to the gzip module). Handles multi-member streams."""
+    Returns a bytes-like memoryview (zero-copy into the decode buffer;
+    it keeps that buffer alive for the caller's lifetime), or None when
+    the native path is unavailable (caller falls back to the gzip
+    module). Handles multi-member streams."""
     lib = get_lib()
     if lib is None:
         return None
@@ -93,7 +95,12 @@ def gzip_read_bytes(path):
                                cap)
         if got >= 0:
             # zero-copy view (copying 100+ MB payloads costs real ms on
-            # this 1-core host); callers treat it as bytes-like
+            # this 1-core host); callers treat it as bytes-like. When a
+            # grow-retry left the buffer far oversized (multi-member
+            # streams), copy to a right-sized array instead of pinning
+            # 4x+ the payload for the caller's lifetime.
+            if got * 2 < cap:
+                return bytes(memoryview(out)[:got])
             return memoryview(out)[:got]
         if got != -2:  # -3 no backend / -4 corrupt: let gzip module try
             return None
