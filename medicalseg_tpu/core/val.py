@@ -143,7 +143,16 @@ def evaluate(state,
             return sum(loss_list), pcd
 
         losses_v, pcds = jax.vmap(_loss_one)(logit, labels)
-        return pred, logit, losses_v, pcds
+        # per-volume argmax (hard) per-class areas for the clinical-
+        # convention dice 2I/(P+L) (reference metric.py:138-163). The
+        # soft per-channel dice above is the parity headline but can
+        # report ~0 for classes the model segments correctly with
+        # negative absolute logits (sigmoid soft dice is not shift-
+        # invariant); dual-reporting both makes the metric honest.
+        areas = jax.vmap(lambda p, l: jnp.stack(metric.calculate_area(
+            p, l, eval_dataset.num_classes,
+            eval_dataset.ignore_index)))(pred, labels)
+        return pred, logit, losses_v, pcds, areas
 
     # cache the jitted per-volume program on the dataset so repeated
     # in-training evals don't re-trace (shapes are constant per dataset).
@@ -168,6 +177,7 @@ def evaluate(state,
     mdice_sum = 0.0
     channel_sum = None
     loss_sum = 0.0
+    area_sum = np.zeros((3, eval_dataset.num_classes), np.float64)
     logits_all, label_all = None, None
 
     volume_iter = iter(loader)
@@ -190,7 +200,7 @@ def evaluate(state,
             ims = jax.device_put(ims, img_sh)
             labs = jax.device_put(labs, lab_sh)
 
-        preds, logits, losses_v, pcds = jax.device_get(
+        preds, logits, losses_v, pcds, areas_v = jax.device_get(
             _eval_fn(variables, ims, labs))
 
         for j in range(k):
@@ -208,6 +218,7 @@ def evaluate(state,
 
             loss_sum += float(losses_v[j])
             mdice_sum += float(np.mean(per_channel_dice))
+            area_sum += np.asarray(areas_v[j], np.float64)
             if channel_sum is None:
                 channel_sum = per_channel_dice.copy()
             else:
@@ -258,17 +269,24 @@ def evaluate(state,
         # combine per-process partial sums (reference aggregates over the
         # sampler shards implicitly by running one loader per rank)
         from jax.experimental import multihost_utils
-        vec = np.concatenate([[mdice_sum, loss_sum, count],
-                              channel_sum]).astype(np.float64)
+        nch = channel_sum.shape[0]
+        vec = np.concatenate([[mdice_sum, loss_sum, count], channel_sum,
+                              area_sum.reshape(-1)]).astype(np.float64)
         vec = np.asarray(multihost_utils.process_allgather(vec)).sum(0)
         mdice_sum, loss_sum, count = vec[0], vec[1], vec[2]
-        channel_sum = vec[3:]
+        channel_sum = vec[3:3 + nch]
+        area_sum = vec[3 + nch:].reshape(3, -1)
 
     mdice = mdice_sum / max(count, 1.0)
     channel_dice_array = channel_sum / max(count, 1.0)
     loss_all = loss_sum / max(count, 1.0)
+    # dataset-level hard dice: 2*sum(I)/(sum(P)+sum(L)) per class over
+    # every evaluated voxel (reference metric.py:138-163 convention;
+    # zero-union classes score 0, matching the reference)
+    hard_class_dice, mdice_hard = metric.dice(
+        area_sum[0], area_sum[1], area_sum[2])
 
-    result_dict = {"mdice": mdice}
+    result_dict = {"mdice": mdice, "mdice_hard": mdice_hard}
     auc_infor = ""
     if auc_roc:
         auc_value = metric.auc_roc(logits_all, label_all[:, None],
@@ -277,12 +295,17 @@ def evaluate(state,
         result_dict["auc_roc"] = auc_value
 
     if print_detail:
-        infor = "[EVAL] #Images: {}, Dice: {:.4f}, Loss: {:6f}".format(
-            len(eval_dataset), mdice, loss_all)
+        infor = ("[EVAL] #Images: {}, Dice: {:.4f}, Dice(argmax): {:.4f}, "
+                 "Loss: {:6f}").format(
+                     len(eval_dataset), mdice, mdice_hard, loss_all)
         logger.info(infor + auc_infor)
         logger.info("[EVAL] Class dice: \n" + str(
             np.round(channel_dice_array, 4)))
+        logger.info("[EVAL] Class dice (argmax): \n" + str(
+            np.round(hard_class_dice, 4)))
 
     if writer is not None:
         writer.add_scalar("Evaluate/Dice", mdice, int(state.step))
+        writer.add_scalar("Evaluate/Dice_hard", mdice_hard,
+                          int(state.step))
     return result_dict

@@ -411,6 +411,9 @@ class OutputTransition(nn.Module):
     dtype: Any = jnp.float32
     head_conv: str = "default"
     in_kl: bool = False  # x arrives in the kernel layout
+    head_1x1: str = "kl"  # 'kl' (Conv1x1KL contraction) | 'conv' (stock
+    # nn.Conv 1^3) when head_conv='pallas' — A/B switch for the serving
+    # regression adjudication (VERDICT r4 #4); same params either way
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -440,7 +443,7 @@ class OutputTransition(nn.Module):
                             dtype=self.dtype, lane_pad=lane_pad)(xn,
                                                                  train)
             pre_layout = "ndhwc"
-        if self.head_conv == "pallas":
+        if self.head_conv == "pallas" and self.head_1x1 == "kl":
             # 1^3 conv as a KL-flat contraction: the stock conv's
             # C=num_classes-minor operands lane-pad 128/C (see
             # layers.Conv1x1KL). Same params ('Conv_0'), same math.
@@ -495,6 +498,7 @@ class VNet(nn.Module):
     # trunk layout-flip-free; needs head_conv=mid_conv='pallas' and
     # updown_conv='s2d'. 'auto' keeps the measured round-3 gating
     # (NDHWC training below W=256, KL at eval/volume scale).
+    head_1x1: str = "kl"  # see OutputTransition.head_1x1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -554,6 +558,7 @@ class VNet(nn.Module):
                  kl_updown=kl_ud, name="UpTransition_3")(out, out16, train)
         out = Output(self.num_classes, self.elu, self.dtype,
                      self.head_conv, in_kl=klb[0],
+                     head_1x1=self.head_1x1,
                      name="OutputTransition_0")(out, train)
         return [out.astype(jnp.float32)]
 

@@ -24,10 +24,12 @@ from .vnet import (DownTransition, InputTransition, OutputTransition,
 
 def _upsample_trilinear(x, size_dhw):
     """Half-pixel trilinear upsample of an NDHWC batch (paddle
-    F.interpolate(mode='trilinear') parity)."""
-    n, _, _, _, c = x.shape
-    out_shape = (n,) + tuple(size_dhw) + (c,)
-    return jax.image.resize(x, out_shape, method="trilinear")
+    F.interpolate(mode='trilinear') parity — reference
+    vnet_deepsup.py:266-277), as three per-axis MXU matmuls
+    (ops.resize.upsample_trilinear_batch; parity-tested against
+    jax.image.resize in tests/test_resize.py)."""
+    from ..ops.resize import upsample_trilinear_batch
+    return upsample_trilinear_batch(x, tuple(size_dhw))
 
 
 @manager.MODELS.add_component
@@ -47,6 +49,7 @@ class VNetDeepSup(nn.Module):
     updown_conv: str = "s2d"  # see vnet.VNet.updown_conv
     remat: bool = False  # per-block rematerialization (HBM <-> FLOPs)
     layout_policy: str = "auto"  # 'auto' | 'all_kl' — see vnet.VNet
+    head_1x1: str = "kl"  # see vnet.OutputTransition.head_1x1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -135,6 +138,7 @@ class VNetDeepSup(nn.Module):
                  name="UpTransition_3")(out, out16, train)
         out = Output(self.num_classes, self.elu, self.dtype,
                      self.head_conv, in_kl=klb[0],
+                     head_1x1=self.head_1x1,
                      name="OutputTransition_0")(out, train)
         return [out.astype(jnp.float32), d1.astype(jnp.float32),
                 d2.astype(jnp.float32), d3.astype(jnp.float32)]

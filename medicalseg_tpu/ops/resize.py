@@ -55,6 +55,60 @@ def _linear_matrix(in_size, out_size, dtype=jnp.float32):
     return jnp.asarray(w, dtype=dtype)
 
 
+def _linear_matrix_halfpixel(in_size, out_size, dtype=jnp.float32):
+    """Static (out, in) order-1 matrix with HALF-PIXEL coordinates
+    (``src = (i + 0.5) * in / out - 0.5``, edges clamped) — the paddle
+    ``F.interpolate(align_corners=False)`` / ``jax.image.resize``
+    convention, as opposed to :func:`_linear_matrix`'s endpoint-aligned
+    scipy zoom convention."""
+    coords = (np.arange(out_size) + 0.5) * in_size / out_size - 0.5
+    coords = np.clip(coords, 0.0, in_size - 1)
+    lo = np.floor(coords).astype(np.int64)
+    lo = np.clip(lo, 0, max(in_size - 2, 0))
+    frac = coords - lo
+    w = np.zeros((out_size, in_size), dtype=np.float32)
+    w[np.arange(out_size), lo] = 1.0 - frac
+    w[np.arange(out_size), np.minimum(lo + 1, in_size - 1)] += frac
+    return jnp.asarray(w, dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def upsample_trilinear_batch(x, size):
+    """Half-pixel trilinear resize of an NDHWC batch via three MXU
+    matmuls (jax.image.resize(method='trilinear') parity).
+
+    Built for the deep-supervision aux heads (models/vnet_deepsup.py),
+    which upsample (N, d, h, w, C) logits to the full volume every step:
+    the per-axis contractions ride the MXU in the compute dtype instead
+    of jax.image.resize's gather/weights lowering.
+
+    UPSAMPLE (or identity) only: jax.image.resize anti-aliases when
+    minifying (kernel widens by 1/scale), which a fixed 2-tap matrix
+    does not reproduce.
+    """
+    size = tuple(int(s) for s in size)
+    n, d, h, w, c = x.shape
+    if (d, h, w) == size:
+        return x
+    if any(o < i for o, i in zip(size, (d, h, w))):
+        raise ValueError(
+            "upsample_trilinear_batch only upsamples; got {} -> {} "
+            "(downscale needs jax.image.resize's anti-aliasing)".format(
+                (d, h, w), size))
+    dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    out = x.astype(dt)
+    if d != size[0]:
+        wd = _linear_matrix_halfpixel(d, size[0], dt)
+        out = jnp.einsum("ad,ndhwc->nahwc", wd, out)
+    if h != size[1]:
+        wh = _linear_matrix_halfpixel(h, size[1], dt)
+        out = jnp.einsum("bh,ndhwc->ndbwc", wh, out)
+    if w != size[2]:
+        ww = _linear_matrix_halfpixel(w, size[2], dt)
+        out = jnp.einsum("xw,ndhwc->ndhxc", ww, out)
+    return out.astype(x.dtype)
+
+
 def _nearest_indices(in_size, out_size):
     """Static nearest-neighbour source indices (scipy order=0 parity:
     spline order 0 rounds half-up)."""

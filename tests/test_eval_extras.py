@@ -161,6 +161,64 @@ def test_evaluate_never_vmaps_model(val_dataset, tmp_path):
     assert np.isfinite(result["mdice"])
 
 
+def test_evaluate_reports_hard_dice(val_dataset, tmp_path):
+    """The soft (sigmoid) per-channel dice can report ~0 for classes the
+    model segments correctly with negative absolute logits (seen on the
+    spine flagship: classes with 0.97+ argmax dice printed as 0.005).
+    evaluate() must dual-report the argmax dice 2I/(P+L) so the metric
+    can't hide a correct segmentation."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import linen as nn
+
+    from medicalseg_tpu.core import evaluate
+    from medicalseg_tpu.core.state import TrainState
+
+    class Oracle(nn.Module):
+        """Predicts the label perfectly by argmax, but with logits so
+        negative that sigmoid soft dice is ~0 for the winning class."""
+        num_classes: int = 2
+
+        @nn.compact
+        def __call__(self, x, train=True):
+            self.param("w", nn.initializers.zeros, (1,))
+            # the synthetic label is (img > 0.5) after the per-volume max
+            # normalization upstream; recover it from the input intensity
+            fg = (x[..., 0] > 0.5).astype(jnp.float32)
+            logit = jnp.stack([-20.0 + 10.0 * (1 - fg),
+                               -20.0 + 10.0 * fg], axis=-1)
+            return [logit]
+
+    state = TrainState.create(Oracle(), optax.sgd(1e-3),
+                              jnp.zeros((1, 16, 16, 16, 1)),
+                              jax.random.PRNGKey(0))
+    result = evaluate(state, val_dataset, _losses(),
+                      save_dir=str(tmp_path / "hd"))
+    assert "mdice_hard" in result
+    # soft dice sees sigmoid(-10) ~ 5e-5 everywhere -> ~0 regardless of
+    # whether the argmax segmentation is right
+    assert result["mdice"] < 0.1
+
+    # recompute the dataset-level argmax dice from the saved artifacts
+    # (all 4 val volumes dump under save_dir) and check the wiring
+    inter = np.zeros(2)
+    parea = np.zeros(2)
+    larea = np.zeros(2)
+    for j in range(len(val_dataset)):
+        pred = np.load(str(tmp_path / "hd" / str(j) / "pred.npy"))
+        lab = np.load(str(tmp_path / "hd" / str(j) / "label.npy"))
+        for c in range(2):
+            p, t = pred == c, lab == c
+            inter[c] += (p & t).sum()
+            parea[c] += p.sum()
+            larea[c] += t.sum()
+    union = parea + larea
+    expect = np.where(union == 0, 0.0, 2 * inter / np.maximum(union, 1))
+    np.testing.assert_allclose(result["mdice_hard"], expect.mean(),
+                               rtol=1e-6)
+
+
 def test_eval_loader_range(tmp_path):
     from tools.generate_synthetic_dataset import generate
     from medicalseg_tpu.datasets import MedicalDataset

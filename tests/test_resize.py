@@ -95,3 +95,33 @@ def test_resize_to_spacing():
     out2, sp2 = resize_to_spacing(
         jnp.asarray(img), spacing=(1.0, 1.0, 2.5), new_shape=(16, 16, 16))
     assert out2.shape == (16, 16, 16)
+
+
+@pytest.mark.parametrize("in_shape,out_dhw", [
+    ((2, 6, 8, 8, 5), (12, 32, 32)),
+    ((1, 3, 16, 16, 20), (12, 64, 64)),
+    ((1, 4, 4, 4, 3), (4, 4, 4)),      # identity
+    ((1, 3, 8, 8, 4), (12, 8, 8)),     # z-only (spine head geometry)
+])
+def test_upsample_trilinear_matches_jax_image(in_shape, out_dhw):
+    """Half-pixel matmul resize (deep-sup aux-head upsample path,
+    models/vnet_deepsup.py) must match jax.image.resize trilinear
+    (paddle F.interpolate align_corners=False parity, reference
+    vnet_deepsup.py:266-277)."""
+    import jax
+
+    from medicalseg_tpu.ops.resize import upsample_trilinear_batch
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(*in_shape).astype(np.float32))
+    ref = jax.image.resize(
+        x, (in_shape[0],) + out_dhw + (in_shape[-1],), method="trilinear")
+    got = upsample_trilinear_batch(x, out_dhw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-6)
+
+
+def test_upsample_trilinear_rejects_downscale():
+    from medicalseg_tpu.ops.resize import upsample_trilinear_batch
+    with pytest.raises(ValueError):
+        upsample_trilinear_batch(jnp.zeros((1, 8, 8, 8, 2)), (4, 8, 8))

@@ -189,6 +189,15 @@ def generate(root, num_volumes=8, size=32, num_classes=3, seed=0,
     json_training = {}
     for i in range(num_volumes):
         img, lab = maker(rng, size, num_classes)
+        if style == "spine":
+            # every class must have support in every volume so no val
+            # dice row can be a zero-support artifact (VERDICT r4 #5);
+            # the anatomy generator draws all 19 structures by
+            # construction — this guards regressions in it
+            counts = np.bincount(lab.reshape(-1), minlength=num_classes)
+            assert (counts > 0).all(), \
+                "spine volume {} lost classes {}".format(
+                    i, np.where(counts == 0)[0].tolist())
         img_rel = "images/vol_{:03d}.npy".format(i)
         lab_rel = "labels/vol_{:03d}.npy".format(i)
         np.save(os.path.join(phase0, img_rel), img)
