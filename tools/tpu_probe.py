@@ -551,14 +551,22 @@ def probe_spine_profile(steps=3):
     n_cls = 20
     layout = os.environ.get("PROBE_LAYOUT", "auto")
     updown = os.environ.get("PROBE_UPDOWN", "s2d")
-    model = VNetDeepSup(
+    n_heads = 4
+    cls = VNetDeepSup
+    if os.environ.get("PROBE_MODEL") == "vnet":
+        # attribution variant: same trunk/geometry, no deep-sup heads/
+        # upsamples and a 1-way loss — the delta names the aux-head cost
+        from medicalseg_tpu.models import VNet as cls
+        n_heads = 1
+    model = cls(
         in_channels=1, num_classes=n_cls, dtype=jnp.bfloat16, remat=True,
         head_conv="pallas", mid_conv="pallas",
         layout_policy=layout, updown_conv=updown,
         kernel_size=((4, 2, 2), (2, 2, 2), (2, 2, 2), (2, 2, 2)),
         stride_size=((1, 2, 2), (1, 2, 2), (2, 2, 2), (2, 2, 2)))
     mixed = lambda: MixedLoss([CrossEntropyLoss(), DiceLoss()], [1.0, 1.0])
-    losses = {"types": [mixed() for _ in range(4)], "coef": [0.25] * 4}
+    losses = {"types": [mixed() for _ in range(n_heads)],
+              "coef": [1.0] if n_heads == 1 else [0.25] * n_heads}
     tx = optax.chain(optax.add_decayed_weights(1e-4),
                      optax.sgd(optax.polynomial_schedule(1e-2, 0, 0.9,
                                                          15000),
