@@ -337,7 +337,7 @@ class ConvBNAct(nn.Module):
             x = conv(x)
             x = bn(x, train)
             return act(x)
-        if (self.lane_pad == "pallas" and self.features <= 64 and
+        if (self.lane_pad == "pallas" and self.features <= 128 and
                 tuple(self.kernel_size) == (5, 5, 5) and
                 tuple(self.strides) == (1, 1, 1) and
                 self.padding == "SAME"):

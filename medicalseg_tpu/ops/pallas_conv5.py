@@ -100,6 +100,9 @@ def _pick_hc(h, w, ci_p, co_p, kd_n, itemsize, fold_kw,
     (``align=False`` in interpreter mode, where tiny test shapes run.)"""
     cc = _co_chunk(co_p, fold_kw)
     m = (K * K if fold_kw else K) * cc
+    # the weight block lives in VMEM for the whole grid — negligible at
+    # C<=64 (<=1 MB) but 4.1 MB at Ci=Co=128, so it must be budgeted
+    lhs = (K * K if fold_kw else K) * co_p * kd_n * ci_p * itemsize
     for hc in (64, 32, 16, 8, 4, 2, 1):
         if h % hc or (align and (hc * w) % 128):
             continue
@@ -108,23 +111,28 @@ def _pick_hc(h, w, ci_p, co_p, kd_n, itemsize, fold_kw,
         acc = m * lc * 4
         res = co_p * hc * w * 4
         out = co_p * hc * w * itemsize * 2  # double-buffered out block
-        if slab + acc + res + out <= budget:
+        if lhs + slab + acc + res + out <= budget:
             return hc
     return None
 
 
 def _head_ok(x_shape, ci, co, dtype, co_cap):
+    # Ci cap 128: contraction depth 5*Ci = 640 tiles the MXU's K axis
+    # exactly (5 x 128 passes, no rounding waste) and the 4.1 MB weight
+    # block still fits the VMEM budget. Ci = 256 would need a
+    # 16.4 MB weight block (> VMEM) — chunk it over a co grid axis
+    # before raising further.
     d, h, w = x_shape[1:4]
     ci_p = _round_up(ci, _sublane(dtype))
     co_p = _round_up(co, 8)
-    return (co <= co_cap and ci <= 64 and w % 32 == 0 and
+    return (co <= co_cap and ci <= 128 and w % 32 == 0 and
             _pick_hc(h, w, ci_p, co_p, K, jnp.dtype(dtype).itemsize,
                      True) is not None)
 
 
 def head_eligible(x_shape: Tuple[int, ...], ci: int, co: int,
                   dtype=jnp.float32) -> bool:
-    return _head_ok(x_shape, ci, co, dtype, 64)
+    return _head_ok(x_shape, ci, co, dtype, 128)
 
 
 def stem_eligible(x_shape: Tuple[int, ...], ci: int, co: int,
@@ -1350,7 +1358,7 @@ def _conv5_kl_bwd(kind, interpret, res, gk):
     gs = _kl_to_x_shape(gk.shape)
     xs = _kl_to_x_shape(xk.shape)
     # dx is a 5^3 SAME conv of g (Ci=co -> Co=ci)
-    if _head_ok(gs, co, ci, dt, 64):
+    if _head_ok(gs, co, ci, dt, 128):
         wflip = jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
         dx = _cp_batchmap_kl("head", interpret)(
             gk, wflip, jnp.zeros((ci,), dt)).astype(xk.dtype)
@@ -1493,7 +1501,7 @@ def _conv5_bwd(kind, interpret, res, g):
     ci, co = x.shape[-1], g.shape[-1]
     dt = x.dtype
     # dx is a 5^3 SAME conv of g (Ci=co -> Co=ci)
-    if _head_ok(g.shape, co, ci, dt, 64):
+    if _head_ok(g.shape, co, ci, dt, 128):
         wflip = jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
         dx = _cp_batchmap("head", interpret)(
             g, wflip, jnp.zeros((ci,), dt)).astype(x.dtype)

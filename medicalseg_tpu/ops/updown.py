@@ -79,13 +79,19 @@ def conv_transpose_d2s(x, kernel, bias=None):
 
 
 def supports_s2d(kernel, stride):
-    """Shapes the matmul reformulations cover: spatial (h, w) windows
-    must be non-overlapping (k == s); the z axis may overlap (any kz
-    for the down conv; kz >= sz == 1 for the transposed conv, the
-    anisotropic V-Net spine stages, e.g. kernel (4,2,2) stride
-    (1,2,2))."""
+    """Shapes the s2d matmul form is USED for: fully non-overlapping
+    windows (k == s), where the gather/interleave is a pure reshape +
+    one MXU matmul (measured 348 -> 340 ms b2 128^3 train).
+
+    The overlapping-z variants (conv_s2d_z / conv_transpose_d2s_z, any
+    kz with k[1:] == s[1:]) remain implemented and tested, but the
+    round-5 spine A/B removed them from the default route: their tap
+    interleave materializes co-minor (lane-padded 8x at C=16)
+    intermediates that XLA's own conv/conv_transpose emitters avoid —
+    PROBE_UPDOWN default 1226 ms vs s2d 1261 ms per flagship step, with
+    the copy/layout row 187 vs 271 ms."""
     k, s = tuple(kernel), tuple(stride)
-    return k[1:] == s[1:]
+    return k == s
 
 
 def conv_s2d_z(x, kernel, z_stride, bias=None):

@@ -66,10 +66,46 @@ def test_eligibility():
     assert pc.head_eligible((1, 128, 128, 128, 32), 32, 3)
     assert not pc.head_eligible((1, 128, 128, 100, 32), 32, 3)  # W%32
     assert pc.head_eligible((1, 128, 128, 128, 32), 32, 64)  # chunked co
-    assert not pc.head_eligible((1, 128, 128, 128, 32), 32, 80)  # big Co
+    assert pc.head_eligible((1, 128, 128, 128, 32), 32, 80)  # chunked co
     assert pc.head_eligible((1, 64, 64, 64, 64), 64, 64)  # 64^3 stage
+    # C=128 stacks (UpTransition_1 at the spine geometry) are eligible
+    # in bf16 — 5*Ci = 640 tiles the MXU K axis exactly; the f32 weight
+    # block would blow the VMEM budget, so f32 stays ineligible
+    assert pc.head_eligible((1, 8, 128, 128, 128), 128, 128,
+                            dtype=jnp.bfloat16)
+    assert not pc.head_eligible((1, 8, 128, 128, 128), 128, 128)
+    assert not pc.head_eligible((1, 4, 64, 64, 256), 256, 256,
+                                dtype=jnp.bfloat16)  # Ci cap
     assert pc.stem_eligible((1, 128, 128, 128, 1), 1, 16)
     assert not pc.stem_eligible((1, 128, 128, 128, 4), 4, 16)
+
+
+def test_head_kernel_wide_channels_matches_xla():
+    """Ci=Co=128 (the widest now-eligible stack): kernel == XLA conv."""
+    x, k, b = _data(1, 4, 4, 16, ci=128, co=128, seed=11)
+    ref = pc._conv5_xla(x, k, b)
+    got = pc.conv5(x, k, b, "head", True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_wide_channel_gradients_match_xla():
+    """At Ci=Co=128 the dgrad kernel is eligible (co -> ci stays 128)
+    while the wgrad falls back to the XLA VJP — both must match
+    autodiff of the stock conv."""
+    x, k, b = _data(1, 4, 2, 8, ci=128, co=128, seed=12)
+
+    def loss_pallas(x, k, b):
+        return jnp.sum(pc.conv5(x, k, b, "head", True) ** 2)
+
+    def loss_xla(x, k, b):
+        return jnp.sum(pc._conv5_xla(x, k, b) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, k, b)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(x, k, b)
+    for a, c in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=5e-2, rtol=5e-2)
 
 
 def test_model_pallas_head_matches_default():

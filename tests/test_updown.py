@@ -125,9 +125,13 @@ Z_CASES = [((4, 2, 2), (1, 2, 2)), ((2, 2, 2), (1, 2, 2)),
 @pytest.mark.parametrize("k,s", Z_CASES)
 def test_conv_s2d_z_matches_xla(k, s):
     """Overlapping-z down conv (the anisotropic spine stages, kernel
-    (4,2,2) stride (1,2,2)) as per-tap MXU matmuls == XLA conv."""
+    (4,2,2) stride (1,2,2)) as per-tap MXU matmuls == XLA conv.
+
+    Kept correct + tested, but NOT routed by default any more:
+    supports_s2d is k == s only (round-5 spine A/B — the XLA
+    conv emitters beat the z-overlap matmul forms, see updown.py)."""
     from medicalseg_tpu.ops.updown import conv_s2d_z, supports_s2d
-    assert supports_s2d(k, s)
+    assert not supports_s2d(k, s)
     rng = np.random.RandomState(6)
     x = jnp.asarray(rng.randn(2, 9, 8, 12, 16).astype(np.float32))
     K = jnp.asarray(rng.randn(*k, 16, 32).astype(np.float32))
@@ -203,10 +207,11 @@ def test_updown_z_gradients_match_xla():
 
 
 def test_vnet_s2d_spine_geometry_matches_default():
-    """The FLAGSHIP spine transposition (kernel [[4,2,2],...], stride
-    [[1,2,2],...] — z-overlapping, spatial non-overlapping) now takes
-    the matmul path and must reproduce the default-conv logits from
-    the same param tree."""
+    """The FLAGSHIP spine geometry (kernel [[4,2,2],...], stride
+    [[1,2,2],...] — z-overlapping): updown_conv='s2d' must reproduce
+    the default-conv logits from the same param tree whichever route
+    each stage takes (z-overlap stages fall back to the XLA convs
+    since round 5; k == s stages use the matmul form)."""
     ks = [[4, 2, 2], [2, 2, 2], [2, 2, 2], [2, 2, 2]]
     ss = [[1, 2, 2], [1, 2, 2], [2, 2, 2], [2, 2, 2]]
     rng = np.random.RandomState(9)
