@@ -42,7 +42,8 @@ def _sync(x):
 
 
 def bench_pipeline(n_volumes=20, raw_shape=(200, 512, 512), iters=3,
-                   size=128, precision="bf16", layout_policy="auto"):
+                   size=128, precision="bf16", layout_policy="auto",
+                   head_1x1="kl"):
     """Device-resident raw->pred pipeline. precision='int8' serves from
     weight-only int8 parameters (utils/quant.py): 4x fewer weight bytes
     in HBM, dequant fused into the forward — the deploy Predictor's
@@ -58,7 +59,7 @@ def bench_pipeline(n_volumes=20, raw_shape=(200, 512, 512), iters=3,
     conv = "pallas" if jax.default_backend() == "tpu" else "default"
     model = VNet(in_channels=1, num_classes=3, dtype=jnp.bfloat16,
                  head_conv=conv, mid_conv=conv,
-                 layout_policy=layout_policy)
+                 layout_policy=layout_policy, head_1x1=head_1x1)
     sample = jnp.zeros((1, size, size, size, 1), jnp.float32)
     state = TrainState.create(model, optax.sgd(1e-3), sample,
                               jax.random.PRNGKey(0))

@@ -209,11 +209,15 @@ class PallasConv5(nn.Module):
         eligible = (pc.stem_eligible if self.kind == "stem" else
                     pc.head_eligible)(x.shape, ci, self.features,
                                       dtype=x.dtype)
-        if not eligible:
-            return pc._conv5_xla(x, kern, bias.astype(self.dtype))
         # Mosaic compile on TPU, interpreter everywhere else (CPU tests)
         interpret = jax.default_backend() != "tpu"
-        return pc.conv5(x, kern, bias, self.kind, interpret)
+        if eligible:
+            return pc.conv5(x, kern, bias, self.kind, interpret)
+        if self.kind == "head" and pc.wide_eligible(
+                x.shape, ci, self.features, dtype=x.dtype):
+            # deep 256-channel stacks: co-chunked head-kernel calls
+            return pc.conv5_wide(x, kern, bias, interpret)
+        return pc._conv5_xla(x, kern, bias.astype(self.dtype))
 
 
 class PallasConv5KL(nn.Module):
@@ -337,10 +341,12 @@ class ConvBNAct(nn.Module):
             x = conv(x)
             x = bn(x, train)
             return act(x)
-        if (self.lane_pad == "pallas" and self.features <= 128 and
+        if (self.lane_pad == "pallas" and
                 tuple(self.kernel_size) == (5, 5, 5) and
                 tuple(self.strides) == (1, 1, 1) and
                 self.padding == "SAME"):
+            # PallasConv5 routes per traced shape: direct kernel,
+            # co-chunked wide kernel, or the XLA conv fallback
             x = PallasConv5(self.features, kind="head", dtype=self.dtype,
                             name="Conv_0")(x)
         elif self.lane_pad == "narrow" and self.features < 16:

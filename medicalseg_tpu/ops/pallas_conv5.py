@@ -117,15 +117,14 @@ def _pick_hc(h, w, ci_p, co_p, kd_n, itemsize, fold_kw,
 
 
 def _head_ok(x_shape, ci, co, dtype, co_cap):
-    # Ci cap 128: contraction depth 5*Ci = 640 tiles the MXU's K axis
-    # exactly (5 x 128 passes, no rounding waste) and the 4.1 MB weight
-    # block still fits the VMEM budget. Ci = 256 would need a
-    # 16.4 MB weight block (> VMEM) — chunk it over a co grid axis
-    # before raising further.
+    # Ci caps: 5*128 = 640 contraction tiles the MXU's K axis exactly;
+    # beyond 128 the VMEM budget (which accounts for the weight block
+    # and the Ci-proportional slab) is what gates — e.g. Ci=256 fits
+    # only with co chunked to <= 64 (see conv5_wide).
     d, h, w = x_shape[1:4]
     ci_p = _round_up(ci, _sublane(dtype))
     co_p = _round_up(co, 8)
-    return (co <= co_cap and ci <= 128 and w % 32 == 0 and
+    return (co <= co_cap and ci <= 256 and w % 32 == 0 and
             _pick_hc(h, w, ci_p, co_p, K, jnp.dtype(dtype).itemsize,
                      True) is not None)
 
@@ -133,6 +132,27 @@ def _head_ok(x_shape, ci, co, dtype, co_cap):
 def head_eligible(x_shape: Tuple[int, ...], ci: int, co: int,
                   dtype=jnp.float32) -> bool:
     return _head_ok(x_shape, ci, co, dtype, 128)
+
+
+def _wide_chunk(x_shape, ci, co, dtype):
+    """Largest co chunk size a wide conv (Ci or Co beyond the direct
+    kernel's budget) can run the head kernel with, or None."""
+    for cg in (128, 64, 32):
+        if co % cg == 0 and _head_ok(x_shape, ci, cg, dtype, cg):
+            return cg
+    return None
+
+
+def wide_eligible(x_shape, ci, co, dtype=jnp.float32):
+    """Co-chunked eligibility for the deep V-Net stacks (Ci or Co in
+    (128, 256]) that the single-call VMEM budget rejects — e.g. the
+    256-channel UpTransition_0 stack at the spine geometry (2 x 41
+    ms/step as XLA convs, round-5 trace)."""
+    if head_eligible(x_shape, ci, co, dtype):
+        return False  # the direct kernel handles it
+    if ci > 256 or co > 256:
+        return False
+    return _wide_chunk(x_shape, ci, co, dtype) is not None
 
 
 def stem_eligible(x_shape: Tuple[int, ...], ci: int, co: int,
@@ -1522,3 +1542,53 @@ def _conv5_bwd(kind, interpret, res, g):
 
 
 conv5.defvjp(_conv5_fwd, _conv5_bwd)
+
+
+# ----------------------------------------------------------------------
+# wide stacks (Ci or Co in (128, 256]): co-chunked head-kernel calls
+# ----------------------------------------------------------------------
+def _conv5_any(x, w, b, interpret):
+    """Route a 5^3 SAME head conv to the direct kernel, the co-chunked
+    wide form, or the XLA conv — whichever the traced shape admits.
+    Used for both the wide forward and its dgrad (whose Ci/Co swap can
+    change which route is available)."""
+    ci, co = x.shape[-1], w.shape[-1]
+    if head_eligible(x.shape, ci, co, x.dtype):
+        return _cp_batchmap("head", interpret)(x, w, b)
+    cg = _wide_chunk(x.shape, ci, co, x.dtype)
+    if cg is not None:
+        outs = [_cp_batchmap("head", interpret)(x, w[..., i:i + cg],
+                                                b[i:i + cg])
+                for i in range(0, co, cg)]
+        return jnp.concatenate(outs, axis=-1)
+    return _conv5_xla(x, w, b)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv5_wide(x, w, b, interpret=False):
+    """5^3 SAME conv for wide stacks: the head kernel applied per co
+    chunk (the chunk size the VMEM budget admits at this Ci), outputs
+    concatenated on the channel axis. dgrad routes back through the
+    same chunked kernel (Ci/Co swap keeps it <= 256); wgrad uses the
+    XLA conv VJP (the compact wgrad kernel's [5*Ci', Mg] f32
+    accumulator does not fit VMEM beyond C=64)."""
+    return _conv5_any(x, w, b, interpret)
+
+
+def _conv5_wide_fwd(x, w, b, interpret):
+    return conv5_wide(x, w, b, interpret), (x, w, b)
+
+
+def _conv5_wide_bwd(interpret, res, g):
+    x, w, b = res
+    ci = x.shape[-1]
+    dt = x.dtype
+    wflip = jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
+    dx = _conv5_any(g, wflip, jnp.zeros((ci,), dt), interpret).astype(dt)
+    dw = jax.vjp(lambda w_: _conv5_xla(x, w_, b), w)[1](g)[0]
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2, 3)).astype(
+        b.dtype)
+    return (dx, dw, db)
+
+
+conv5_wide.defvjp(_conv5_wide_fwd, _conv5_wide_bwd)

@@ -80,6 +80,33 @@ def test_eligibility():
     assert not pc.stem_eligible((1, 128, 128, 128, 4), 4, 16)
 
 
+def test_conv5_wide_chunked_matches_xla():
+    """Ci=256 (the deep V-Net stacks): the co-chunked wide form — chunk
+    size picked by the VMEM budget — must match the XLA conv, and its
+    dgrad (routed back through the chunked kernel) must match autodiff
+    of the stock conv. Uses an eligibility-passing aligned shape so the
+    kernel path (not the XLA fallback) is exercised."""
+    x, k, b = _data(1, 2, 4, 32, ci=256, co=64, seed=13)
+    assert pc.wide_eligible(x.shape, 256, 64, dtype=x.dtype)
+    assert pc._wide_chunk(x.shape, 256, 64, x.dtype) == 32
+    ref = pc._conv5_xla(x, k, b)
+    got = pc.conv5_wide(x, k, b, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+    def loss_pallas(x, k, b):
+        return jnp.sum(pc.conv5_wide(x, k, b, True) ** 2)
+
+    def loss_xla(x, k, b):
+        return jnp.sum(pc._conv5_xla(x, k, b) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, k, b)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(x, k, b)
+    for a, c in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=5e-2, rtol=5e-2)
+
+
 def test_head_kernel_wide_channels_matches_xla():
     """Ci=Co=128 (the widest now-eligible stack): kernel == XLA conv."""
     x, k, b = _data(1, 4, 4, 16, ci=128, co=128, seed=11)

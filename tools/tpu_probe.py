@@ -658,6 +658,22 @@ def _print_categorized(outdir, steps, top=25):
                                              name[:90]))
 
 
+def probe_head1x1(reps=3):
+    """VERDICT r4 #4: A/B the Conv1x1KL head at eval on the
+    device-resident serving contract (bench_pipeline, argmax out),
+    3-rep medians per arm. If 'kl' costs serving throughput it gets
+    gated to train; 'conv' is the stock nn.Conv 1^3."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+
+    for mode in ("kl", "conv"):
+        vals = sorted(bench.bench_pipeline(iters=1, head_1x1=mode)
+                      for _ in range(reps))
+        print("head_1x1={}: median {:.2f} vol/s, reps {}".format(
+            mode, vals[reps // 2], [round(v, 2) for v in vals]))
+
+
 def main():
     import jax
     jax.config.update(
@@ -685,6 +701,8 @@ def main():
         probe_train_profile()
     if which == "spine_profile":
         probe_spine_profile()
+    if which == "head1x1":
+        probe_head1x1()
 
 
 if __name__ == "__main__":
