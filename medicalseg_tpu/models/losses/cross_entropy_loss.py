@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ...cvlibs import manager
-from .loss_utils import class_weights
+from .loss_utils import class_weights, fused_masks
 
 
 @manager.LOSSES.add_component
@@ -53,12 +53,21 @@ class CrossEntropyLoss:
         # a clean elementwise backward. Ignored labels match no class,
         # so both nll and w stay zero there.
         valid = (labels != self.ignore_index).astype(jnp.float32)
-        nll = jnp.zeros(labels.shape, jnp.float32)
-        w = jnp.zeros(labels.shape, jnp.float32)
-        for c in range(num_classes):
-            m = (labels == c).astype(jnp.float32)
-            nll = nll - log_probs[..., c].astype(jnp.float32) * m
-            w = w + weight[c].astype(jnp.float32) * m
+        if fused_masks():
+            # identical math, one vectorized compare over the class
+            # axis (the one-hot lives only inside the fusion; labels ==
+            # ignore_index match no class so nll/w stay 0 there)
+            iota = jnp.arange(num_classes, dtype=labels.dtype)
+            oh = (labels[..., None] == iota).astype(jnp.float32)
+            nll = -jnp.sum(log_probs.astype(jnp.float32) * oh, axis=-1)
+            w = jnp.sum(weight.astype(jnp.float32) * oh, axis=-1)
+        else:
+            nll = jnp.zeros(labels.shape, jnp.float32)
+            w = jnp.zeros(labels.shape, jnp.float32)
+            for c in range(num_classes):
+                m = (labels == c).astype(jnp.float32)
+                nll = nll - log_probs[..., c].astype(jnp.float32) * m
+                w = w + weight[c].astype(jnp.float32) * m
         w = w * valid
         # paddle weighted-mean semantics: sum(w * nll) / sum(w)
         return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), self.EPS)

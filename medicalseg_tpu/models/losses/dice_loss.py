@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ...cvlibs import manager
-from .loss_utils import flatten
+from .loss_utils import flatten, fused_masks
 
 
 @manager.LOSSES.add_component
@@ -86,15 +86,28 @@ class DiceLoss:
 
         labels = labels.astype(jnp.int32)
         valid = (labels != self.ignore_index).astype(jnp.float32)
-        intersects = []
-        denoms = []
-        for c in range(num_classes):
-            p_c = probs[..., c].astype(jnp.float32) * valid
-            mask_c = (labels == c).astype(jnp.float32) * valid
-            intersects.append(jnp.sum(p_c * mask_c))
-            denoms.append(jnp.sum(p_c * p_c) + jnp.sum(mask_c))
-        intersect = jnp.stack(intersects)
-        denominator = jnp.stack(denoms)
+        if fused_masks():
+            # identical math with the per-class masks as one
+            # iota-compare inside the reduce fusion (see
+            # loss_utils.fused_masks)
+            iota = jnp.arange(num_classes, dtype=labels.dtype)
+            ohv = (labels[..., None] == iota).astype(
+                jnp.float32) * valid[..., None]
+            pv = probs.astype(jnp.float32) * valid[..., None]
+            axes = tuple(range(labels.ndim))
+            intersect = jnp.sum(pv * ohv, axis=axes)
+            denominator = jnp.sum(pv * pv, axis=axes) + jnp.sum(
+                ohv, axis=axes)
+        else:
+            intersects = []
+            denoms = []
+            for c in range(num_classes):
+                p_c = probs[..., c].astype(jnp.float32) * valid
+                mask_c = (labels == c).astype(jnp.float32) * valid
+                intersects.append(jnp.sum(p_c * mask_c))
+                denoms.append(jnp.sum(p_c * p_c) + jnp.sum(mask_c))
+            intersect = jnp.stack(intersects)
+            denominator = jnp.stack(denoms)
         if self.weight is not None:
             intersect = self.weight * intersect
         per_channel_dice = 2 * (intersect /

@@ -6,8 +6,24 @@ single reshape+transpose; all math matches the reference's NCDHW
 formulation numerically.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def fused_masks():
+    """True -> CE/Dice build the per-class masks as a single
+    iota-compare one-hot INSIDE the reduce fusion (one vectorized
+    compare over the class axis) instead of a Python loop of C scalar
+    compares. Both formulations are mathematically identical (the
+    one-hot is never materialized to HBM — it exists only inside XLA's
+    fusion); the loop variant was the round-2 answer to the TPU
+    lane-padding trap, the fused variant A/Bs against it at the 20-class
+    spine head shape (tools/tpu_probe.py loss). Env-switchable so the
+    probe can flip it without an edit; read at TRACE time only.
+    """
+    return os.environ.get("MEDSEG_LOSS_FUSED", "0") == "1"
 
 
 def flatten(tensor):

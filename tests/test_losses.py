@@ -130,3 +130,31 @@ def test_dice_ignore_index_masks_all_sums():
                                              jnp.asarray(labels))
     np.testing.assert_allclose(np.asarray(pcd_a), np.asarray(pcd_b),
                                rtol=1e-6)
+
+
+def test_fused_masks_matches_loop_values_and_grads(monkeypatch):
+    """The iota-compare fused formulation (MEDSEG_LOSS_FUSED=1) is
+    bit-for-bit the same math as the per-class loop — values AND
+    gradients, with ignore_index voxels present and dynamic CE
+    weights."""
+    import jax
+
+    logits = _rand((2, 3, 4, 4, 5), seed=11)
+    labels = np.random.RandomState(12).randint(0, 5, (2, 3, 4, 4))
+    labels = np.where(np.random.RandomState(13).rand(*labels.shape) < 0.2,
+                      255, labels)
+    lg, lb = jnp.asarray(logits), jnp.asarray(labels)
+
+    def total(lg, lb):
+        ce = CrossEntropyLoss()(lg, lb)
+        dl, _ = DiceLoss(ignore_index=255)(lg, lb)
+        return ce + dl
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("MEDSEG_LOSS_FUSED", flag)
+        outs[flag] = (float(total(lg, lb)),
+                      np.asarray(jax.grad(total)(lg, lb)))
+    np.testing.assert_allclose(outs["0"][0], outs["1"][0], rtol=1e-6)
+    np.testing.assert_allclose(outs["0"][1], outs["1"][1], rtol=1e-5,
+                               atol=1e-7)
