@@ -13,17 +13,21 @@ import jax.numpy as jnp
 
 
 def fused_masks():
-    """True -> CE/Dice build the per-class masks as a single
+    """True (default) -> CE/Dice build the per-class masks as a single
     iota-compare one-hot INSIDE the reduce fusion (one vectorized
     compare over the class axis) instead of a Python loop of C scalar
     compares. Both formulations are mathematically identical (the
     one-hot is never materialized to HBM — it exists only inside XLA's
-    fusion); the loop variant was the round-2 answer to the TPU
-    lane-padding trap, the fused variant A/Bs against it at the 20-class
-    spine head shape (tools/tpu_probe.py loss). Env-switchable so the
-    probe can flip it without an edit; read at TRACE time only.
+    fusion; parity test: tests/test_losses.py::
+    test_fused_masks_matches_loop_values_and_grads). The loop variant
+    was the round-2 answer to the TPU lane-padding trap; the round-5
+    A/B on the REAL flagship step (tools/tpu_probe.py spine_profile,
+    v5e) measured fused at wall 1135 ms vs 1195 ms — the
+    elementwise/reduce row dropped 148 -> 82 ms/step — so fused is now
+    the default. MEDSEG_LOSS_FUSED=0 restores the loop; read at TRACE
+    time only.
     """
-    return os.environ.get("MEDSEG_LOSS_FUSED", "0") == "1"
+    return os.environ.get("MEDSEG_LOSS_FUSED", "1") == "1"
 
 
 def flatten(tensor):
